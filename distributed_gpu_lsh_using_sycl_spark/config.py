@@ -1,0 +1,101 @@
+"""Pipeline configuration.
+
+Mirrors the reference's ``locality_sensitive_hashing_options`` struct
+(``include/sycl_lsh/options.hpp:54-127``; CLI defaults at
+``src/sycl_lsh/options.cpp:74-82``) plus the dedup-pipeline parameters the
+north rule adds (shingling, verification thresholds, salting / skew
+handling, checkpointing). One dataclass = the single source of truth —
+"identical shingle/signature/band-row config" parity hinges on this.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class LshConfig:
+    # ---- signature / banding shape (reference defaults, options.cpp:74-82) ----
+    #: LSH bands == reference ``num_hash_tables`` (L). Default 8.
+    num_bands: int = 8
+    #: MinHash rows per band == reference ``num_hash_functions`` (k). Default 12.
+    rows_per_band: int = 12
+    #: size of the hash-parameter pool that band functions are drawn from
+    #: (with replacement) == reference ``hash_pool_size``. Default 32.
+    signature_pool_size: int = 32
+    #: bucket modulus == reference ``hash_table_size`` (prime 105613,
+    #: options.cpp:80; primality matters to decorrelate the modulo).
+    bucket_modulus: int = 105_613
+    #: E2LSH quantization width == reference ``w`` (random projections only).
+    w: float = 1.0
+
+    # ---- dedup semantics ----
+    #: caption shingle size in TOKENS (word shingles).
+    shingle_size: int = 3
+    #: Jaccard threshold for a verified caption near-dup pair.
+    jaccard_threshold: float = 0.5
+    #: Hamming threshold (bits out of 64) for a verified image near-dup pair.
+    hamming_threshold: int = 8
+    #: minimum common-substring length (chars) for the suffix/substring pass.
+    min_substring_len: int = 24
+
+    # ---- skew handling ----
+    #: buckets with more members than this get salted (split) before the
+    #: pair self-join; the Spark analog of the reference's bucket-occupancy
+    #: histogram diagnostic (hash_tables.hpp:245-269) turned into action.
+    hot_bucket_threshold: int = 64
+    #: number of salt partitions a hot bucket is split into.
+    n_salts: int = 8
+    #: hard cap on members per (band,bucket) considered for pair generation;
+    #: buckets larger than this are (deterministically) down-sampled — at
+    #: 10^12 rows a degenerate bucket (empty caption) would otherwise emit
+    #: O(n^2) pairs. 0 disables.
+    max_bucket_size: int = 4096
+
+    # ---- determinism ----
+    #: single RNG seed for every random draw (pool coefficients, selection);
+    #: reference precedent: SYCL_LSH_RANDOM_NUMBERS_DEBUG deterministic mode
+    #: (random_projections.cpp:32-41).
+    seed: int = 42
+
+    # ---- parity mode (dense-vector random projections, reference semantics) ----
+    #: number of quantile cut-off points for the entropy-based family
+    #: (options.cpp:81; only used by parity-mode hashing).
+    num_cut_off_points: int = 6
+
+    # ---- execution ----
+    #: target shuffle partitions; sized so post-shuffle partitions fit in
+    #: executor memory at the target SF (driver may override).
+    shuffle_partitions: int = 32
+    #: Arrow max records per batch for pandas UDFs.
+    arrow_batch_size: int = 4096
+
+    # ---- io ----
+    #: table format: "parquet" (sandbox) or "iceberg" (cluster).
+    table_format: str = "parquet"
+
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def signature_len(self) -> int:
+        return self.num_bands * self.rows_per_band
+
+    def config_hash(self) -> str:
+        """Stable hash of the config — keyed into the resume manifest so a
+        changed config invalidates checkpointed stages."""
+        payload = asdict(self)
+        blob = json.dumps(payload, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True, default=str)
+
+    @staticmethod
+    def from_json(blob: str) -> "LshConfig":
+        return LshConfig(**json.loads(blob))
+
+
+#: reference CLI defaults for parity runs (options.cpp:74-82).
+REFERENCE_DEFAULTS = LshConfig()

@@ -1,0 +1,230 @@
+"""Hash kernels with exact reference parity, vectorized in numpy.
+
+The reference combines per-function quantized hash values with a
+boost-style ``hash_combine`` and takes the result modulo a prime table
+size (``include/sycl_lsh/detail/hashing/hash_combine.hpp:23-49``,
+``random_projections.hpp:72-85``). We reproduce the uint32/uint64
+mix-chains bit-exactly (numpy unsigned arithmetic wraps, which *is* the
+C++ semantics), because parity mode asserts bucket-identical assignments
+against a seeded NumPy oracle.
+
+MinHash parameters follow the reference's pool-then-select draw
+(``random_projections.cpp:44-72``): a pool of ``signature_pool_size``
+(a, b) affine functions is drawn once from the config seed, and each of
+the ``num_bands * rows_per_band`` signature rows selects a pool entry
+uniformly with replacement. Selecting *with replacement* is a documented
+reference behavior we keep for config parity (it slightly correlates
+rows; the fixture-recall test covers the consequence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U32 = np.uint32
+U64 = np.uint64
+
+#: 2^31 - 1 — a Mersenne prime. Shingle hashes are 32-bit (crc32), the
+#: affine coefficients are < 2^31, so ``a * h + b`` stays < 2^63: the
+#: modular hash is exact in uint64 with no overflow (unlike the common
+#: 2^61-1 + wrap shortcut).
+MINHASH_PRIME = np.uint64((1 << 31) - 1)
+MINHASH_EMPTY = np.uint64(MINHASH_PRIME)  # sentinel row value for empty shingle sets
+
+
+# --------------------------------------------------------------------------- #
+# boost-style hash_combine — bit-exact vs hash_combine.hpp:23-49
+# --------------------------------------------------------------------------- #
+
+def hash_combine_u32(seed, val):
+    """uint32 hash_combine; vectorized. Parity: hash_combine.hpp:23-32."""
+    with np.errstate(over="ignore"):
+        x = (np.asarray(seed, dtype=U32) + U32(0x9E3779B9) + np.asarray(val, dtype=U32))
+        x = x ^ (x >> U32(16))
+        x = x * U32(0x21F0AAAD)
+        x = x ^ (x >> U32(15))
+        x = x * U32(0x735A2D97)
+        x = x ^ (x >> U32(15))
+    return x
+
+
+def hash_combine_u64(seed, val):
+    """uint64 hash_combine; vectorized. Parity: hash_combine.hpp:40-49."""
+    with np.errstate(over="ignore"):
+        x = (np.asarray(seed, dtype=U64) + U64(0x9E3779B97F4A7C15) + np.asarray(val, dtype=U64))
+        x = x ^ (x >> U64(32))
+        x = x * U64(0x0E9846AF9B1A615D)
+        x = x ^ (x >> U64(32))
+        x = x * U64(0x0E9846AF9B1A615D)
+        x = x ^ (x >> U64(28))
+    return x
+
+
+# --------------------------------------------------------------------------- #
+# MinHash parameter pool (pool-then-select, random_projections.cpp:44-72)
+# --------------------------------------------------------------------------- #
+
+def minhash_params(seed: int, num_rows: int, pool_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Draw the (a, b) affine-hash parameters for ``num_rows`` MinHash rows.
+
+    A pool of ``pool_size`` pairs is drawn first, then each row selects a
+    pool entry uniformly with replacement — the same two-phase structure
+    as the reference's hash-function pool (random_projections.cpp:44-72),
+    with numpy PCG64 standing in for std::mt19937 (the reference's debug
+    mode pins the generator for determinism; we pin via ``seed``).
+
+    Returns ``(a, b)`` uint64 arrays of shape (num_rows,), a in [1, 2^31),
+    b in [0, 2^31).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pool_a = rng.integers(1, int(MINHASH_PRIME), size=pool_size, dtype=np.uint64)
+    pool_b = rng.integers(0, int(MINHASH_PRIME), size=pool_size, dtype=np.uint64)
+    sel = rng.integers(0, pool_size, size=num_rows)
+    return pool_a[sel], pool_b[sel]
+
+
+def minhash_signatures(shingle_hashes: list[np.ndarray] | "object",
+                       a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signatures for a batch of rows, fully vectorized.
+
+    ``shingle_hashes``: sequence of 1-D uint64 arrays (32-bit crc32 values),
+    one per row; rows with zero shingles get the MINHASH_EMPTY sentinel in
+    every signature slot (sentinel rows never collide into real buckets —
+    see ``band_buckets``'s empty handling in the signature operator).
+
+    Implementation: concatenate the batch's shingles, compute the
+    (num_rows_sig, total_shingles) affine-hash matrix in one shot, then
+    ``np.minimum.reduceat`` per document — one pass, no per-row Python.
+    """
+    num_perm = len(a)
+    counts = np.fromiter((len(s) for s in shingle_hashes), dtype=np.int64,
+                         count=len(shingle_hashes))
+    n_docs = len(counts)
+    out = np.full((n_docs, num_perm), MINHASH_EMPTY, dtype=np.uint64)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
+    flat = np.concatenate([np.asarray(s, dtype=np.uint64) for s, c in
+                           zip(shingle_hashes, counts) if c > 0])
+    # (num_perm, total) — a,h < 2^31/2^32 keeps a*h+b < 2^63: exact mod.
+    hv = (a[:, None] * flat[None, :] + b[:, None]) % MINHASH_PRIME
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(counts[nonempty][:-1], out=offsets[1:])
+    mins = np.minimum.reduceat(hv, offsets, axis=1)  # (num_perm, n_nonempty)
+    out[nonempty] = mins.T
+    return out
+
+
+def band_buckets(sigs: np.ndarray, num_bands: int, rows_per_band: int,
+                 bucket_modulus: int) -> np.ndarray:
+    """Band buckets from signatures — the reference's combine-then-mod chain.
+
+    For each band t: ``combined = rows_per_band``; for each row r in the
+    band: ``combined = hash_combine_u32(combined, uint32(sig[t*k + r]))``;
+    ``bucket = combined % bucket_modulus``. This is the exact shape of
+    ``lsh_hash<random_projections>::operator()`` (random_projections.hpp:
+    72-85) with the quantized projection replaced by the MinHash row.
+
+    ``sigs``: (n_docs, num_bands*rows_per_band) uint64.
+    Returns (n_docs, num_bands) int64 (values < bucket_modulus).
+    """
+    n = sigs.shape[0]
+    combined = np.full((n, num_bands), U32(rows_per_band), dtype=U32)
+    sig32 = sigs.astype(U32).reshape(n, num_bands, rows_per_band)
+    for r in range(rows_per_band):
+        combined = hash_combine_u32(combined, sig32[:, :, r])
+    return (combined % U32(bucket_modulus)).astype(np.int64)
+
+
+# --------------------------------------------------------------------------- #
+# Reference-semantics random projections (parity mode, dense vectors)
+# --------------------------------------------------------------------------- #
+
+def random_projection_pool(seed: int, num_bands: int, rows_per_band: int,
+                           pool_size: int, dims: int, w: float) -> np.ndarray:
+    """Draw the random-projections function matrix, reference layout.
+
+    Mirrors random_projections.cpp:44-72: pool of ``pool_size`` functions,
+    coefficients |N(0,1)| per dim plus a U[0, w) bias in the last slot;
+    tables select pool entries with replacement. Returns
+    (num_bands, rows_per_band, dims+1) float64.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pool = np.empty((pool_size, dims + 1), dtype=np.float64)
+    pool[:, :dims] = np.abs(rng.standard_normal((pool_size, dims)))
+    pool[:, dims] = rng.uniform(0.0, w, size=pool_size)
+    sel = rng.integers(0, pool_size, size=(num_bands, rows_per_band))
+    return pool[sel]
+
+
+def random_projection_buckets(points: np.ndarray, funcs: np.ndarray,
+                              w: float, bucket_modulus: int) -> np.ndarray:
+    """Bucket ids for dense points under the reference hash chain.
+
+    Parity with lsh_hash<random_projections> (random_projections.hpp:72-85):
+    per function ``h = b + a·x``; quantize ``uint32(h / w)`` (C++ float→uint
+    truncation); fold with hash_combine_u32 starting from rows_per_band;
+    mod ``bucket_modulus``.
+
+    ``points``: (n, dims); ``funcs``: (L, k, dims+1).
+    Returns (n, L) int64 bucket ids.
+    """
+    L, k, _ = funcs.shape
+    dims = points.shape[1]
+    # (n, L, k) projections
+    proj = np.einsum("nd,lkd->nlk", points, funcs[:, :, :dims]) + funcs[None, :, :, dims]
+    q = np.floor_divide(proj, w)
+    # C++ static_cast<uint32_t>(double) truncates toward zero and is UB for
+    # negatives; |N| coefficients + [0,1]-scaled data keep h >= 0 so plain
+    # uint32 wrap of the truncated value is the semantics.
+    qi = np.trunc(q).astype(np.int64).astype(U32)
+    combined = np.full((points.shape[0], L), U32(k), dtype=U32)
+    for r in range(k):
+        combined = hash_combine_u32(combined, qi[:, :, r])
+    return (combined % U32(bucket_modulus)).astype(np.int64)
+
+
+# --------------------------------------------------------------------------- #
+# SimHash over feature streams
+# --------------------------------------------------------------------------- #
+
+def simhash64(feature_hashes: np.ndarray, row_offsets: np.ndarray, n_rows: int) -> np.ndarray:
+    """64-bit SimHash per row from flat uint64 feature hashes.
+
+    ``feature_hashes``: concatenated per-row feature hashes (uint64);
+    ``row_offsets``: start index of each row's features (len n_rows,
+    ascending, offsets[0] == 0). Each feature votes +1/-1 per bit; the
+    sign of the per-bit sum is the fingerprint bit. Fully vectorized:
+    bits unpacked to (total, 64) int8, summed per row via
+    ``np.add.reduceat``.
+    """
+    if len(feature_hashes) == 0:
+        return np.zeros(n_rows, dtype=np.uint64)
+    fh = np.asarray(feature_hashes, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((fh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    votes = bits * 2 - 1  # ±1
+    sums = np.add.reduceat(votes, row_offsets, axis=0)  # (n_rows, 64)
+    fingerprint_bits = (sums > 0).astype(np.uint64)
+    return (fingerprint_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a XOR b for uint64 arrays."""
+    x = np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for s in range(0, 64, 8):
+        cnt += POPCOUNT8[(x >> np.uint64(s)) & np.uint64(0xFF)]
+    return cnt
+
+
+POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def fold64_to_i64(x: np.ndarray) -> np.ndarray:
+    """Reinterpret uint64 as int64 (two's complement) for Spark LongType."""
+    return np.asarray(x, dtype=np.uint64).view(np.int64)
+
+
+def i64_to_u64(x: np.ndarray) -> np.ndarray:
+    return np.asarray(x, dtype=np.int64).view(np.uint64)

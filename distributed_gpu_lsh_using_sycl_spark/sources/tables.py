@@ -1,0 +1,92 @@
+"""Session factory + table IO.
+
+On the sandbox, tables are parquet directories under a warehouse path; on
+a real cluster the same ``TableIO`` speaks Iceberg (``writeTo`` /
+``read.format("iceberg")``) when a catalog is configured — Iceberg gives
+what the reference's binary-file header gave it (schema + count,
+binary_parser.hpp:33-47) plus snapshot isolation, partition pruning and
+min/max skipping. The engine code is format-agnostic through this module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def get_spark(app_name: str = "dlsh", parallelism: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Local-mode session tuned per the scale guidance: AQE on (runtime
+    re-plan + skew-join backstop), Arrow on (vectorized UDF transfer),
+    shuffle partitions sized to cores, not the 200 default."""
+    cores = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class TableIO:
+    """Read/write named stage tables (parquet dir or Iceberg table)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.fmt = fmt
+        if fmt == "parquet":
+            os.makedirs(warehouse, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        if self.fmt == "iceberg":
+            w = df.writeTo(f"{self.warehouse}.{name}")
+            if partition_by:
+                from pyspark.sql import functions as F
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if self.fmt == "iceberg":
+            df.writeTo(f"{self.warehouse}.{name}").append()
+        else:
+            df.write.mode("append").parquet(self._path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.format("iceberg").load(f"{self.warehouse}.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def exists(self, name: str) -> bool:
+        if self.fmt == "iceberg":
+            return self.spark.catalog.tableExists(f"{self.warehouse}.{name}")
+        p = self._path(name)
+        return os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, "_SUCCESS")) or any(
+                f.endswith(".parquet") for f in os.listdir(p))
+        )
