@@ -1,0 +1,97 @@
+"""Connected components on an edge DataFrame: alternating large-star /
+small-star (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), the scalable CC algorithm — O(log² n) rounds, each round two
+shuffles, no driver-side graph state.
+
+The reference has no graph stage (its output is per-point k-NN lists);
+clustering is new surface mandated by the north rule. Cluster id = the
+component's minimum vertex id, matching the dedup convention "keep the
+smallest image_id".
+
+Per-iteration ``localCheckpoint`` truncates lineage (iterative plans grow
+exponentially otherwise); the *pipeline*-level parquet checkpoint in
+plans/pipeline.py provides cross-run resumability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u."""
+    nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    m = mins.select("u", F.least("u", "mv").alias("m"))
+    return (nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct edges high→low; for each u: m = min(N(u) ∪ {u}); emit (x, m)
+    for x ∈ N(u) ∪ {u}, x ≠ m."""
+    hi_lo = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
+    nodes = hi_lo.join(mins, "u").select(
+        F.col("v").alias("x"), "m"
+    ).unionAll(mins.select(F.col("u").alias("x"), "m"))
+    return (nodes.filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("a"), F.col("m").alias("b"))
+            .distinct())
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    # pmod before sum: ANSI mode (Spark 4 default) makes a raw sum of
+    # xxhash64 values an ARITHMETIC_OVERFLOW; values < 2^31 keep the sum
+    # exact up to ~4e9 edges per convergence check.
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2_147_483_647))),
+                   F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Undirected edges (a, b) -> assignments (image_id, cluster_id).
+
+    Converges when the canonical edge set is stable; at convergence every
+    edge points directly at its component's minimum, so the edge set IS
+    the assignment for non-root members and roots map to themselves.
+    Only nodes that appear in edges are returned — callers left-join the
+    full vertex set and coalesce to self (singleton semantics; the
+    reference's "own id = not found" convention, nearest_neighbors.cpp:131,
+    without the dummy-point artifact).
+    """
+    cur = edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _large_star(cur).localCheckpoint(eager=True)
+        cur = _small_star(cur).localCheckpoint(eager=True)
+        sig = _edge_checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # stars: b is the root (minimum). Members:
+    members = cur.select(F.col("a").alias("image_id"), F.col("b").alias("cluster_id"))
+    roots = cur.select(F.col("b").alias("image_id"), F.col("b").alias("cluster_id")).distinct()
+    return members.unionAll(roots).groupBy("image_id").agg(
+        F.min("cluster_id").alias("cluster_id"))
+
+
+def assign_clusters(vertices: DataFrame, edges: DataFrame,
+                    id_col: str = "image_id", max_iter: int = 50) -> DataFrame:
+    """Full assignment over a vertex table: component min for connected
+    nodes, self for singletons."""
+    cc = connected_components(edges, max_iter=max_iter)
+    return (vertices.select(F.col(id_col).alias("image_id")).distinct()
+            .join(cc, "image_id", "left")
+            .select("image_id",
+                    F.coalesce("cluster_id", "image_id").alias("cluster_id")))

@@ -1,0 +1,171 @@
+"""Signature stage: caption MinHash + image SimHash, Spark-first.
+
+The reference's ``fit`` builds per-table CSR hash buckets on the GPU
+(``hash_tables.hpp:141-210``); our analog computes, per row,
+
+- distinct caption shingle CRC-32s — **entirely JVM-side** with built-in
+  expressions (split / transform / crc32), so Catalyst keeps the hot path
+  in whole-stage codegen and only the MinHash min-reduction crosses into
+  an Arrow-batched pandas UDF;
+- the MinHash signature (num_bands * rows_per_band rows) and per-band
+  bucket ids via the reference's hash_combine chain
+  (random_projections.hpp:72-85 analog) — one vectorized pandas UDF;
+- the 64-bit image SimHash from the stored phash + decoded-pixel block
+  features — one vectorized pandas UDF over (bytes, phash).
+
+Tokenization semantics mirror functions/text.py exactly (and the DuckDB
+oracle SQL in __spark_entry__.py) — change all three together.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
+
+
+# --------------------------------------------------------------------------- #
+# JVM-side shingling (whole-stage-codegen'd; no Python in this path)
+# --------------------------------------------------------------------------- #
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lower(trim(text)), empties dropped —
+    identical to functions.text.tokenize."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+
+
+def shingles_col(text: Column, k: int) -> Column:
+    """Distinct word k-shingles; <k tokens → one all-tokens shingle."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    full = F.array_join(toks, " ")
+    kgrams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(k)), " "),
+    )
+    return F.array_distinct(
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < F.lit(k), F.array(full))
+        .otherwise(kgrams)
+    )
+
+
+def shingle_crc_col(text: Column, k: int) -> Column:
+    """array<long> of CRC-32 values of the distinct shingles (JVM crc32
+    == zlib.crc32 — the cross-system-stable shingle hash)."""
+    return F.transform(shingles_col(text, k), lambda s: F.crc32(F.encode(s, "utf-8")))
+
+
+# --------------------------------------------------------------------------- #
+# MinHash + band buckets (vectorized pandas UDF)
+# --------------------------------------------------------------------------- #
+
+_MINHASH_SCHEMA = T.StructType([
+    T.StructField("minhash", T.ArrayType(T.LongType()), False),
+    T.StructField("buckets", T.ArrayType(T.LongType()), True),
+])
+
+
+def make_minhash_udf(cfg: LshConfig):
+    """Series(array<long> shingle crcs) -> struct(minhash, buckets).
+
+    Rows with no shingles get buckets = NULL so they never enter a band
+    bucket (the reference's dummy-point padding semantics are explicitly
+    NOT reproduced — SURVEY §1.5; empty docs become singleton clusters).
+    """
+    a, b = H.minhash_params(cfg.seed, cfg.signature_len, cfg.signature_pool_size)
+    num_bands, rows_per_band, modulus = cfg.num_bands, cfg.rows_per_band, cfg.bucket_modulus
+
+    @F.pandas_udf(_MINHASH_SCHEMA)
+    def minhash_udf(crcs: pd.Series) -> pd.DataFrame:
+        arrays = [np.asarray(x, dtype=np.int64).view(np.uint64) if x is not None and len(x)
+                  else np.zeros(0, dtype=np.uint64) for x in crcs]
+        sigs = H.minhash_signatures(arrays, a, b)
+        buckets = H.band_buckets(sigs, num_bands, rows_per_band, modulus)
+        empty = np.fromiter((len(x) == 0 for x in arrays), dtype=bool, count=len(arrays))
+        sig_list = sigs.view(np.int64).tolist()
+        bucket_list: list = buckets.tolist()
+        for i in np.flatnonzero(empty):
+            bucket_list[i] = None
+        return pd.DataFrame({"minhash": sig_list, "buckets": bucket_list})
+
+    return minhash_udf
+
+
+# --------------------------------------------------------------------------- #
+# Image SimHash (vectorized pandas UDF over bytes + phash)
+# --------------------------------------------------------------------------- #
+
+def make_simhash_udf(cfg: LshConfig):
+    """Series(bytes), Series(phash int64) -> int64 simhash.
+
+    Features per image: 16 phash nibbles (position-salted) + 64 quantized
+    decoded-pixel block means (position-salted). The decode runs once per
+    Arrow batch inside numpy — the batch shape is the real plumbing; the
+    SIMG codec stands in for jpeg/png (image_codec.py).
+    """
+    from distributed_gpu_lsh_using_sycl_spark.functions.image_codec import (
+        block_features, decode_image)
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(blobs: pd.Series, phash: pd.Series) -> pd.Series:
+        n = len(blobs)
+        ph = phash.to_numpy(dtype=np.int64).view(np.uint64)
+        # 16 phash nibbles, position-salted feature hashes: (n, 16)
+        nib_idx = np.arange(16, dtype=np.uint64)
+        nibbles = (ph[:, None] >> (nib_idx[None, :] * np.uint64(4))) & np.uint64(0xF)
+        nib_feats = H.hash_combine_u64(nib_idx[None, :] + np.uint64(1), nibbles)
+        # 64 block features per image (decode is per-blob; vector math per batch)
+        blk = np.empty((n, 64), dtype=np.uint64)
+        for i, blob in enumerate(blobs):
+            pixels, _ = decode_image(bytes(blob))
+            blk[i] = block_features(pixels).astype(np.uint64)
+        blk_idx = np.arange(64, dtype=np.uint64) + np.uint64(100)
+        blk_feats = H.hash_combine_u64(blk_idx[None, :], blk)
+        feats = np.concatenate([nib_feats, blk_feats], axis=1)  # (n, 80)
+        offsets = np.arange(n, dtype=np.int64) * feats.shape[1]
+        sh = H.simhash64(feats.reshape(-1), offsets, n)
+        return pd.Series(sh.view(np.int64))
+
+    return simhash_udf
+
+
+# --------------------------------------------------------------------------- #
+# the signature stage
+# --------------------------------------------------------------------------- #
+
+def compute_signatures(images: DataFrame, cfg: LshConfig,
+                       id_col: str = "image_id", text_col: str = "caption",
+                       with_image: bool = True) -> DataFrame:
+    """images -> signatures(image_id, shingles, minhash, buckets, simhash, phash).
+
+    Column pruning note: only (id, caption[, bytes, phash]) are read —
+    with parquet/Iceberg the scan never materializes ``bytes`` unless the
+    image path is on (check ReadSchema in .explain).
+    """
+    minhash_udf = make_minhash_udf(cfg)
+    out = (
+        images
+        .withColumn("shingles", shingle_crc_col(F.col(text_col), cfg.shingle_size))
+        .withColumn("mh", minhash_udf(F.col("shingles")))
+        .select(
+            F.col(id_col).alias("image_id"),
+            "shingles",
+            F.col("mh.minhash").alias("minhash"),
+            F.col("mh.buckets").alias("buckets"),
+            *([F.col("phash"), F.col("bytes")] if with_image else []),
+        )
+    )
+    if with_image:
+        simhash_udf = make_simhash_udf(cfg)
+        out = (out.withColumn("simhash", simhash_udf(F.col("bytes"), F.col("phash")))
+                  .drop("bytes"))
+    else:
+        out = out.withColumn("simhash", F.lit(None).cast("long")) \
+                 .withColumn("phash", F.lit(None).cast("long"))
+    return out

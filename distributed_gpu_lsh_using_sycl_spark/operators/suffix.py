@@ -1,0 +1,184 @@
+"""Exact-substring duplicate pass (the suffix-array stage).
+
+At 10^12 rows you cannot build one global suffix array; the distributed
+decomposition (the standard one from suffix-array-based training-data
+dedup) is:
+
+1. **Candidate generation** — every caption emits the rolling polynomial
+   hashes of ALL of its length-L character windows (L =
+   ``min_substring_len``), computed in one vectorized numpy pass per
+   Arrow batch (prefix-hash trick: O(len) per doc, zero per-row Python).
+   Two captions sharing any substring of length ≥ L share a window hash,
+   so the equi-join on (window_hash) is a complete blocking scheme —
+   recall 1.0 by construction, modulo 31-bit hash collisions which only
+   ADD candidates.
+2. **Exact verification** — for each candidate pair, a suffix-array
+   longest-common-substring check over the two captions (suffix array by
+   prefix-doubling + Kasai LCP, numpy), inside a pandas-grouped UDF.
+   Collisions are eliminated here, so the hash width costs nothing in
+   precision.
+
+Full-containment pairs (caption_a inside caption_b) are the verified
+subset with lcs == len(shorter); they're flagged separately.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+
+_MOD = np.uint64((1 << 31) - 1)
+_BASE = np.uint64(131)
+
+
+def _window_hashes(text: str, L: int) -> np.ndarray:
+    """Distinct rolling hashes of all length-L windows. O(len) numpy."""
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(c)
+    if n < L:
+        return np.zeros(0, dtype=np.int64)
+    # prefix hashes p[i] = hash(c[0..i]) mod M
+    p = np.empty(n, dtype=np.uint64)
+    acc = np.uint64(0)
+    # vectorized Horner via cumulative reduce is not expressible directly;
+    # use the O(n) scalar loop on a small array only when numpy's
+    # ufunc.accumulate can't apply — here we can: hash of window starting
+    # at i is sum_{j<L} c[i+j] * B^(L-1-j) mod M, computed as a correlation
+    # of c with the power vector, done blockwise with exact mod arithmetic.
+    powers = np.empty(L, dtype=np.uint64)
+    powers[L - 1] = np.uint64(1)
+    for j in range(L - 2, -1, -1):
+        powers[j] = (powers[j + 1] * _BASE) % _MOD
+    # windows matrix-free: strided view (n-L+1, L) — values < 2^31, powers
+    # < 2^31, products < 2^62: sum in chunks of 4 with interleaved mod to
+    # stay exact in uint64.
+    w = np.lib.stride_tricks.sliding_window_view(c, L)  # (n-L+1, L)
+    acc = np.zeros(w.shape[0], dtype=np.uint64)
+    for j0 in range(0, L, 4):
+        part = (w[:, j0:j0 + 4] % _MOD) * powers[None, j0:j0 + 4]
+        acc = (acc + part.sum(axis=1, dtype=np.uint64)) % _MOD
+    return np.unique(acc).astype(np.int64)
+
+
+def window_hash_df(docs: DataFrame, cfg: LshConfig,
+                   id_col: str = "image_id", text_col: str = "caption") -> DataFrame:
+    """(id, text) -> exploded (image_id, whash)."""
+    L = cfg.min_substring_len
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def win_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([_window_hashes(t or "", L).tolist() for t in texts])
+
+    return (docs
+            .select(F.col(id_col).alias("image_id"), F.col(text_col).alias("text"))
+            .withColumn("whash", F.explode(win_udf(F.col("text"))))
+            .select("image_id", "whash"))
+
+
+def substring_candidates(docs: DataFrame, cfg: LshConfig,
+                         id_col: str = "image_id", text_col: str = "caption") -> DataFrame:
+    """Distinct (a, b) candidate pairs sharing ≥1 length-L window hash.
+
+    Reuses the salted-band machinery for skew: a window hash shared by a
+    crowd (boilerplate strings) is exactly a hot LSH bucket.
+    """
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        candidate_pairs_from_bands)
+
+    wh = window_hash_df(docs, cfg, id_col, text_col)
+    bands = wh.select("image_id", F.lit(-1).alias("band_id"), F.col("whash").alias("bucket"))
+    return candidate_pairs_from_bands(bands, cfg, source="substring")
+
+
+# --------------------------------------------------------------------------- #
+# suffix-array LCS verification
+# --------------------------------------------------------------------------- #
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (O(n log^2 n), numpy lexsort)."""
+    n = len(s)
+    rank = np.argsort(s, kind="stable")
+    # initial ranks from values
+    order = np.empty(n, dtype=np.int64)
+    sa = np.argsort(s, kind="stable")
+    vals = s[sa]
+    r = np.zeros(n, dtype=np.int64)
+    r[sa] = np.cumsum(np.concatenate([[0], (vals[1:] != vals[:-1]).astype(np.int64)]))
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = r[k:]
+        sa = np.lexsort((key2, r))
+        new_r = np.zeros(n, dtype=np.int64)
+        prev = (r[sa[1:]] != r[sa[:-1]]) | (key2[sa[1:]] != key2[sa[:-1]])
+        new_r[sa] = np.cumsum(np.concatenate([[0], prev.astype(np.int64)]))
+        r = new_r
+        if r[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa
+
+
+def _kasai_lcp(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    n = len(s)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        if rank[i] > 0:
+            j = sa[rank[i] - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring(a: str, b: str) -> int:
+    """Exact LCS length via suffix array + Kasai over a#b."""
+    if not a or not b:
+        return 0
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    sep = np.array([-1], dtype=np.int64)  # below any codepoint
+    s = np.concatenate([ca, sep, cb])
+    sa = suffix_array(s)
+    lcp = _kasai_lcp(s, sa)
+    na = len(ca)
+    side = sa < na  # suffix starts in a (separator suffix starts "in b" side-safe)
+    cross = side[1:] != side[:-1]
+    if not cross.any():
+        return 0
+    return int(lcp[1:][cross].max())
+
+
+def verify_substring_pairs(cands: DataFrame, docs: DataFrame, cfg: LshConfig,
+                           id_col: str = "image_id", text_col: str = "caption") -> DataFrame:
+    """(a, b) candidates -> (a, b, lcs, contains, source) with lcs ≥ L kept."""
+    L = cfg.min_substring_len
+    d = docs.select(F.col(id_col).alias("image_id"), F.col(text_col).alias("text"))
+    withs = (cands
+             .join(d.select(F.col("image_id").alias("a"), F.col("text").alias("text_a")), "a")
+             .join(d.select(F.col("image_id").alias("b"), F.col("text").alias("text_b")), "b"))
+
+    @F.pandas_udf(T.IntegerType())
+    def lcs_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series([longest_common_substring(x or "", y or "")
+                          for x, y in zip(ta, tb)], dtype="int32")
+
+    return (withs
+            .withColumn("lcs", lcs_udf("text_a", "text_b"))
+            .filter(F.col("lcs") >= F.lit(L))
+            .withColumn("contains",
+                        F.col("text_b").contains(F.col("text_a"))
+                        | F.col("text_a").contains(F.col("text_b")))
+            .select("a", "b", "lcs", "contains", F.lit("substring").alias("source")))
