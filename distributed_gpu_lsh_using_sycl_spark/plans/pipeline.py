@@ -150,11 +150,18 @@ class DedupPipeline:
 
         docs = images.select(F.col(self.id_col).alias("image_id"),
                              F.col(self.text_col).alias("caption"))
+        # Containment (caption embedded verbatim) is a dup by itself; a
+        # merely-shared length-L window is only a CANDIDATE signal that
+        # still must pass the Jaccard/Hamming verify (auto-verifying it
+        # transitively over-merged clusters: a 97-doc blob on synthetic
+        # text). Both flow into the pair stage under distinct sources.
         t["cand_substring"] = self._stage(
             "cand_substring",
             lambda: suffix.verify_substring_pairs(
                 suffix.substring_candidates(docs, cfg), docs, cfg)
-            .select("a", "b", "source"))
+            .select("a", "b",
+                    F.when(F.col("contains"), F.lit("substring"))
+                     .otherwise(F.lit("window")).alias("source")))
 
         def build_pairs() -> DataFrame:
             cands = [t["cand_minhash"].select("a", "b", "source"),

@@ -51,7 +51,6 @@ def oracle_truth():
     """Brute-force all-pairs dup truth at CFG thresholds."""
     images, planted = make_fixture_pandas(N_ROWS, seed=CFG.seed)
     rows = images.to_dict("records")
-    L = CFG.min_substring_len
     feats = []
     for r in rows:
         text = r["caption"]
@@ -60,7 +59,7 @@ def oracle_truth():
             "sh": set(shingles(text, CFG.shingle_size)),
             "ph": r["phash"] & ((1 << 64) - 1),
             "sim": _simhash_oracle(r["bytes"], r["phash"]),
-            "win": {text[i:i + L] for i in range(len(text) - L + 1)},
+            "text": text,
         })
     truth = set()
     kinds = {}
@@ -76,7 +75,11 @@ def oracle_truth():
                 why.append("phash")
             if _popcount(a["sim"] ^ b["sim"]) <= CFG.hamming_threshold:
                 why.append("simhash")
-            if a["win"] & b["win"]:
+            # dup-by-substring means verbatim containment (the planted
+            # semantic); merely sharing a length-L window is a candidate
+            # signal, not a dup — see plans/pipeline.py cand_substring.
+            if ((a["text"] in b["text"] or b["text"] in a["text"])
+                    and min(len(a["text"]), len(b["text"])) >= CFG.min_substring_len):
                 why.append("substring")
             if why:
                 truth.add((pa, pb))
