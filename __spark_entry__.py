@@ -105,7 +105,7 @@ def q_dedup_minhash_lsh_pairs(spark, sf):
     cfg = _dedup_cfg()
     d = _t(spark, sf, "documents")
     sigs = compute_signatures(d, cfg, id_col="doc_id", text_col="text",
-                              with_image=False)
+                              with_image=False).persist()
     bands = banding.explode_bands(sigs)
     cands = banding.candidate_pairs_from_bands(bands, cfg, source="minhash")
     verified = pairs.verify_pairs(pairs.attach_features(cands, sigs), cfg)
@@ -178,7 +178,7 @@ def q_doc_simhash_pairs(spark, sf):
     d = _t(spark, sf, "documents")
     sigs = (d.select(F.col("doc_id").alias("image_id"),
                      shingle_crc_col(F.col("text"), SHINGLE_K).alias("shingles"))
-            .withColumn("simhash", text_simhash("shingles")))
+            .withColumn("simhash", text_simhash("shingles")).persist())
     cands = hash_band_pairs(sigs, "simhash", LshConfig(), source="simhash")
     sh = sigs.select(F.col("image_id"), F.col("simhash"))
     withs = (cands
@@ -258,36 +258,93 @@ def q_doc_fingerprint(spark, sf):
 # embeddings: similarity search
 # --------------------------------------------------------------------------- #
 
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _with_norm(e):
+    """Precompute ||v|| once per row — the pairwise join must never
+    recompute norms per pair (3x work; at 10^12 pairs it is the
+    difference between feasible and not). Same float ops as the oracle
+    (sqrt of a self-dot), just factored out."""
+    return e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
 def q_knn_brute_topk(spark, sf, k: int = 5):
     """Brute-force cosine top-k (the oracle-runtime analog of the
     reference's sklearn brute k-NN oracle). Ranking on ROUNDED sim with
     id tie-break keeps both engines' orderings identical."""
-    e = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"))
+    e = _with_norm(_t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    cores = spark.sparkContext.defaultParallelism
+    a = e.repartition(cores).select(F.col("vec_id").alias("vec_id"),
+                                    F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+                 F.col("norm").alias("nb"))
     sims = (a.join(b, F.col("vec_id") != F.col("neighbor_id"))
-            .withColumn("sim", F.round(_cosine(F.col("va"), F.col("vb")), 6)))
+            .withColumn("sim", F.round(_dot(F.col("va"), F.col("vb"))
+                                       / (F.col("na") * F.col("nb")), 6)))
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("vec_id", "neighbor_id", "rank", "sim"))
 
 
+def q_knn_block_matmul_topk(spark, sf, k: int = 5):
+    """Block-brute-force cosine top-k: mapInPandas over row blocks with the
+    (broadcast) full matrix — one BLAS matmul per Arrow batch, no join.
+    The 100TB design tiles the broadcast side; here one tile suffices.
+    Same output contract/oracle as q_knn_brute_topk (sims rounded to 6
+    before ranking, id tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    rows = e.collect()  # the broadcast tile (sf0.1: 2000 x 64 floats)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    B = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, Bn))
+
+    def topk(batches):
+        bids, bmat = bc.value
+        for pdf in batches:
+            qids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            Q = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            sims = np.round(Qn @ bmat.T, 6)
+            # exclude self matches by id
+            self_mask = qids[:, None] == bids[None, :]
+            sims[self_mask] = -np.inf
+            # top-k by (-sim, id): lexsort per row
+            out_rows = []
+            nk = min(k, sims.shape[1] - 1)
+            part = np.argpartition(-sims, nk - 1, axis=1)[:, : max(nk * 4, nk)]
+            for i in range(len(qids)):
+                cand = part[i]
+                order = sorted(cand.tolist(), key=lambda j: (-sims[i, j], bids[j]))[:nk]
+                for rank, j in enumerate(order, 1):
+                    out_rows.append((int(qids[i]), int(bids[j]), rank,
+                                     float(sims[i, j])))
+            yield pd.DataFrame(out_rows,
+                               columns=["vec_id", "neighbor_id", "rank", "sim"])
+
+    cores = spark.sparkContext.defaultParallelism
+    return e.repartition(cores).mapInPandas(
+        topk, schema="vec_id long, neighbor_id long, rank int, sim double")
+
+
 def q_embedding_neardup_pairs(spark, sf):
-    e = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    e = _with_norm(_t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    cores = spark.sparkContext.defaultParallelism
+    a = e.repartition(cores).select(F.col("vec_id").alias("a"),
+                                    F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                 F.col("norm").alias("nb"))
     return (a.join(b, F.col("a") < F.col("b"))
-            .withColumn("sim", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+            .withColumn("sim", F.round(_dot(F.col("va"), F.col("vb"))
+                                       / (F.col("na") * F.col("nb")), 6))
             .filter(F.col("sim") >= NEARDUP_COS)
             .select("a", "b", "sim"))
 
@@ -313,12 +370,15 @@ def q_ann_lsh_topk(spark, sf, k: int = 5, n_planes: int = 12):
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series(bits @ weights)
 
-    eb = e.withColumn("bucket", bucket_udf("v"))
-    a = eb.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"), "bucket")
-    b = eb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), "bucket")
+    eb = _with_norm(e).withColumn("bucket", bucket_udf("v")).persist()
+    a = eb.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"),
+                  F.col("norm").alias("na"), "bucket")
+    b = eb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+                  F.col("norm").alias("nb"), "bucket")
     sims = (a.join(b, "bucket")
             .filter(F.col("vec_id") != F.col("neighbor_id"))
-            .withColumn("sim", F.round(_cosine(F.col("va"), F.col("vb")), 6)))
+            .withColumn("sim", F.round(_dot(F.col("va"), F.col("vb"))
+                                       / (F.col("na") * F.col("nb")), 6)))
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -544,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_brute_topk": q_knn_brute_topk,
+        "knn_block_matmul_topk": q_knn_block_matmul_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
@@ -594,6 +655,19 @@ def _in_list(items) -> str:
 _LANG_COUNTS = ", ".join(
     f"len(list_filter(words, x -> x in ({_in_list(m)}))) as c_{lang}"
     for lang, m in (("en", EN), ("es", ES), ("fr", FR), ("de", DE)))
+
+
+_KNN_SQL = """
+    with sims as (
+      select a.vec_id, b.vec_id as neighbor_id,
+        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) as sim
+      from embeddings a join embeddings b on a.vec_id <> b.vec_id),
+    ranked as (select *, row_number() over
+      (partition by vec_id order by sim desc, neighbor_id) as rank from sims)
+    select vec_id, neighbor_id, rank, sim from ranked where rank <= 5"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -661,17 +735,8 @@ def oracle_sql() -> dict[str, str]:
                                i -> cast(ord(substr(text, i, 1)) as bigint))),
               (acc, c) -> (acc * 31 + c) % {FP_MOD}) as fp
             from documents""",
-        "knn_brute_topk": """
-            with sims as (
-              select a.vec_id, b.vec_id as neighbor_id,
-                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                  6) as sim
-              from embeddings a join embeddings b on a.vec_id <> b.vec_id),
-            ranked as (select *, row_number() over
-              (partition by vec_id order by sim desc, neighbor_id) as rank from sims)
-            select vec_id, neighbor_id, rank, sim from ranked where rank <= 5""",
+        "knn_block_matmul_topk": _KNN_SQL,
+        "knn_brute_topk": _KNN_SQL,
         "embedding_neardup_pairs": f"""
             select a.vec_id as a, b.vec_id as b,
               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])

@@ -1,0 +1,216 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec, ...},
+   "sf": ..., "scaling": {...}}
+
+Two parts:
+1. Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+   on local[$SPARK_GRAFT_CPUS]: the caption-dedup pipeline over documents
+   plus representative analytic operators.
+2. Strong-scaling evidence (north rule; the sandbox stand-in for N vs 4N
+   executors): the signature+banding stage over an identical synthetic
+   image fixture at local[8] and local[32] in SEPARATE JVMs; reports
+   images/sec at both and efficiency = (ips_32 / ips_8) / 4. Mirrors the
+   reference's strong-scaling benchmark (README.md:27-28: speedup 7.6 on
+   8 GPUs). Results also written to BENCH/BASELINE.md.
+
+Worker mode (internal): bench.py --stage-worker --cores N --fixture F
+prints a single JSON line with the stage timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+N_IMAGES = int(os.environ.get("DLSH_BENCH_IMAGES", "24000"))
+FIXTURE = os.environ.get("DLSH_BENCH_FIXTURE",
+                         f"/tmp/dlsh_bench/images_{N_IMAGES}.parquet")
+
+
+def _spark(cores: int):
+    from distributed_gpu_lsh_using_sycl_spark.sources.tables import get_spark
+
+    return get_spark(f"bench-{cores}", parallelism=cores, shuffle_partitions=cores)
+
+
+def ensure_fixture(cores: int) -> None:
+    if os.path.exists(os.path.join(FIXTURE, "_SUCCESS")):
+        return
+    from distributed_gpu_lsh_using_sycl_spark.sources.fixture import make_fixture_spark
+
+    spark = _spark(cores)
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    make_fixture_spark(spark, N_IMAGES, seed=42, partitions=cores * 2) \
+        .write.mode("overwrite").parquet(FIXTURE)
+    spark.stop()
+
+
+def stage_worker(cores: int, fixture: str) -> dict:
+    """Signature+banding stage timing at a given parallelism (own JVM)."""
+    from pyspark.sql import functions as F
+
+    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import explode_bands
+    from distributed_gpu_lsh_using_sycl_spark.operators.signatures import compute_signatures
+
+    cfg = LshConfig()
+    spark = _spark(cores)
+    images = spark.read.parquet(fixture)
+    n = images.count()  # warm the scan / page cache before timing
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        # persist: signatures feed both the signature sink and the band
+        # explode — without it the UDF chain runs twice (like the
+        # pipeline's materialized stage table, which this stands in for)
+        sigs = compute_signatures(images, cfg).persist()
+        # noop sink forces full computation of every column (a bare
+        # count() would let Catalyst prune the UDF columns away)
+        sigs.write.format("noop").mode("overwrite").save()
+        explode_bands(sigs).write.format("noop").mode("overwrite").save()
+        secs = time.perf_counter() - t0
+        sigs.unpersist()
+        return secs
+
+    # Steady-state protocol: python-worker fork + imports + scratch
+    # first-touch are per-executor-LIFETIME costs (cluster executors are
+    # long-lived), and the sandbox host has multi-second noisy-neighbor
+    # bursts — so run several passes and report the min (the unloaded,
+    # warm measurement). Observed warm-up depth here is ~2 full passes.
+    passes = [one_pass() for _ in range(5)]
+    secs = min(passes[1:])
+    spark.stop()
+    return {"cores": cores, "n_images": n, "secs": round(secs, 2),
+            "images_per_sec": round(n / secs, 1),
+            "passes": [round(p, 1) for p in passes]}
+
+
+def _run_worker_subprocess(cores: int) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    # PIN the whole process tree (JVM + python workers) to `cores` CPUs:
+    # un-pinned, a local[8] JVM's GC/shuffle/Arrow threads and its python
+    # workers spread onto the idle 24 cores, inflating the small-N
+    # baseline and corrupting the N->4N efficiency ratio.
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}",
+         sys.executable, os.path.abspath(__file__), "--stage-worker",
+         "--cores", str(cores), "--fixture", FIXTURE],
+        capture_output=True, text=True, env=env, check=True, timeout=1800)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    spark = _spark(cores)
+    picks = ["dedup_minhash_lsh_pairs", "dedup_substring_pairs", "lcs_window_pairs",
+             "doc_simhash_pairs", "lang_id", "token_counts", "knn_block_matmul_topk",
+             "ann_lsh_topk", "q1_pricing_summary", "revenue_by_nation",
+             "topk_per_group", "sessionization", "windowed_events"]
+    qs = E.queries()
+    # warm the python worker pool + Arrow path once so the first timed
+    # query doesn't pay worker-fork cost
+    from pyspark.sql import functions as F
+
+    warm = spark.range(10000).withColumn("s", F.col("id") + 1)
+    warm.write.format("noop").mode("overwrite").save()
+    times: dict[str, float] = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()  # drop persists left by query builders
+
+    # end-to-end caption dedup over documents (flagship)
+    from distributed_gpu_lsh_using_sycl_spark.plans.pipeline import run_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    res = run_dedup(spark, docs, E._dedup_cfg(), with_image=False,
+                    id_col="doc_id", text_col="text")
+    res["clusters"].write.format("noop").mode("overwrite").save()
+    times["e2e_caption_dedup"] = round(time.perf_counter() - t0, 2)
+    spark.stop()
+    return times
+
+
+def write_bench_md(scaling: dict, times: dict, sf_dir: str) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH — measured throughput & strong scaling",
+        "",
+        f"Input: deterministic synthetic image+caption fixture, {scaling['n_images']} rows",
+        "(sources/fixture.py, seed 42); identical parquet input for both runs.",
+        "",
+        "## Signature+banding stage (the north-rule scaling criterion)",
+        "",
+        "| parallelism | wall (s) | images/sec |",
+        "|---|---|---|",
+        f"| local[8]  | {scaling['w8']['secs']} | {scaling['w8']['images_per_sec']} |",
+        f"| local[32] | {scaling['w32']['secs']} | {scaling['w32']['images_per_sec']} |",
+        "",
+        f"**Scaling efficiency (N→4N cores) = (ips_32 / ips_8) / 4 = "
+        f"{scaling['efficiency']:.3f}** (target ≥ 0.8; reference's own "
+        "strong-scaling result: speedup 7.6 on 8 GPUs ≈ 0.95, README.md:27-28).",
+        "",
+        f"## Headline query times at {sf_dir} (local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ] + [f"| {k} | {v} |" for k, v in times.items()] + [""]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage-worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--fixture", default=FIXTURE)
+    ap.add_argument("--skip-scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.stage_worker:
+        print(json.dumps(stage_worker(args.cores, args.fixture)))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    times = headline_queries(sf_dir, cpus)
+
+    scaling = None
+    if not args.skip_scaling:
+        ensure_fixture(cpus)
+        w8 = _run_worker_subprocess(8)
+        w32 = _run_worker_subprocess(32)
+        eff = (w32["images_per_sec"] / w8["images_per_sec"]) / 4.0
+        scaling = {"n_images": w8["n_images"], "w8": w8, "w32": w32,
+                   "efficiency": round(eff, 3)}
+        write_bench_md(scaling, times, sf_dir)
+
+    total = round(sum(times.values()), 2)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

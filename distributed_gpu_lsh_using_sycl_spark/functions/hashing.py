@@ -36,27 +36,30 @@ MINHASH_EMPTY = np.uint64(MINHASH_PRIME)  # sentinel row value for empty shingle
 # boost-style hash_combine — bit-exact vs hash_combine.hpp:23-49
 # --------------------------------------------------------------------------- #
 
-def hash_combine_u32(seed, val):
-    """uint32 hash_combine; vectorized. Parity: hash_combine.hpp:23-32."""
+def hash_combine_u32(seed, val, out=None):
+    """uint32 hash_combine; vectorized. Parity: hash_combine.hpp:23-32.
+    With ``out`` the whole mix runs in-place (no temporaries)."""
     with np.errstate(over="ignore"):
-        x = (np.asarray(seed, dtype=U32) + U32(0x9E3779B9) + np.asarray(val, dtype=U32))
-        x = x ^ (x >> U32(16))
-        x = x * U32(0x21F0AAAD)
-        x = x ^ (x >> U32(15))
-        x = x * U32(0x735A2D97)
-        x = x ^ (x >> U32(15))
+        x = np.add(np.asarray(seed, dtype=U32), U32(0x9E3779B9), out=out)
+        x = np.add(x, np.asarray(val, dtype=U32), out=out)
+        for shift, mult in ((U32(16), U32(0x21F0AAAD)),
+                            (U32(15), U32(0x735A2D97))):
+            x = np.bitwise_xor(x, np.right_shift(x, shift), out=out)
+            x = np.multiply(x, mult, out=out)
+        x = np.bitwise_xor(x, np.right_shift(x, U32(15)), out=out)
     return x
 
 
-def hash_combine_u64(seed, val):
+def hash_combine_u64(seed, val, out=None):
     """uint64 hash_combine; vectorized. Parity: hash_combine.hpp:40-49."""
     with np.errstate(over="ignore"):
-        x = (np.asarray(seed, dtype=U64) + U64(0x9E3779B97F4A7C15) + np.asarray(val, dtype=U64))
-        x = x ^ (x >> U64(32))
-        x = x * U64(0x0E9846AF9B1A615D)
-        x = x ^ (x >> U64(32))
-        x = x * U64(0x0E9846AF9B1A615D)
-        x = x ^ (x >> U64(28))
+        x = np.add(np.asarray(seed, dtype=U64), U64(0x9E3779B97F4A7C15), out=out)
+        x = np.add(x, np.asarray(val, dtype=U64), out=out)
+        x = np.bitwise_xor(x, np.right_shift(x, U64(32)), out=out)
+        x = np.multiply(x, U64(0x0E9846AF9B1A615D), out=out)
+        x = np.bitwise_xor(x, np.right_shift(x, U64(32)), out=out)
+        x = np.multiply(x, U64(0x0E9846AF9B1A615D), out=out)
+        x = np.bitwise_xor(x, np.right_shift(x, U64(28)), out=out)
     return x
 
 
@@ -83,6 +86,29 @@ def minhash_params(seed: int, num_rows: int, pool_size: int) -> tuple[np.ndarray
     return pool_a[sel], pool_b[sel]
 
 
+#: persistent scratch buffers, keyed by name. The sandbox (and any
+#: memory-ballooned VM) makes FIRST-TOUCH page faults on fresh mmap'd
+#: allocations ~100x the cost of warm memory, and numpy munmaps every
+#: temporary > 128 KiB — so a naive big-matrix kernel pays full fault
+#: cost on EVERY batch (measured: 25s for an 8M-element affine+mod that
+#: takes 80ms on reused buffers). All hot kernels therefore compute
+#: chunkwise into buffers that live for the worker's lifetime.
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < n or buf.dtype != dtype:
+        buf = np.empty(int(n * 1.25) + 64, dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf[:n]
+
+
+#: rows of the affine-hash matrix computed per chunk; 8 rows x <=512k
+#: shingles keeps the working set ~32 MB and fully buffer-reused.
+_MINHASH_CHUNK = 8
+
+
 def minhash_signatures(shingle_hashes: list[np.ndarray] | "object",
                        a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """MinHash signatures for a batch of rows, fully vectorized.
@@ -92,9 +118,10 @@ def minhash_signatures(shingle_hashes: list[np.ndarray] | "object",
     every signature slot (sentinel rows never collide into real buckets —
     see ``band_buckets``'s empty handling in the signature operator).
 
-    Implementation: concatenate the batch's shingles, compute the
-    (num_rows_sig, total_shingles) affine-hash matrix in one shot, then
-    ``np.minimum.reduceat`` per document — one pass, no per-row Python.
+    Implementation: concatenate the batch's shingles, then for chunks of
+    permutation rows compute the affine-hash block into persistent scratch
+    (``out=`` everywhere — see _SCRATCH) and ``np.minimum.reduceat`` per
+    document. One pass, no per-row Python, no fresh large temporaries.
     """
     num_perm = len(a)
     counts = np.fromiter((len(s) for s in shingle_hashes), dtype=np.int64,
@@ -106,11 +133,21 @@ def minhash_signatures(shingle_hashes: list[np.ndarray] | "object",
         return out
     flat = np.concatenate([np.asarray(s, dtype=np.uint64) for s, c in
                            zip(shingle_hashes, counts) if c > 0])
-    # (num_perm, total) — a,h < 2^31/2^32 keeps a*h+b < 2^63: exact mod.
-    hv = (a[:, None] * flat[None, :] + b[:, None]) % MINHASH_PRIME
-    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    total = len(flat)
+    n_ne = int(nonempty.sum())
+    offsets = np.zeros(n_ne, dtype=np.int64)
     np.cumsum(counts[nonempty][:-1], out=offsets[1:])
-    mins = np.minimum.reduceat(hv, offsets, axis=1)  # (num_perm, n_nonempty)
+    mins = np.empty((num_perm, n_ne), dtype=np.uint64)
+    work = _scratch("minhash_work", _MINHASH_CHUNK * total, np.uint64) \
+        .reshape(_MINHASH_CHUNK, total)
+    for c0 in range(0, num_perm, _MINHASH_CHUNK):
+        c1 = min(c0 + _MINHASH_CHUNK, num_perm)
+        w = work[: c1 - c0]
+        # a,h < 2^31/2^32 keeps a*h+b < 2^63: the mod is exact in uint64.
+        np.multiply(a[c0:c1, None], flat[None, :], out=w)
+        np.add(w, b[c0:c1, None], out=w)
+        np.mod(w, MINHASH_PRIME, out=w)
+        np.minimum.reduceat(w, offsets, axis=1, out=mins[c0:c1])
     out[nonempty] = mins.T
     return out
 
@@ -201,10 +238,15 @@ def simhash64(feature_hashes: np.ndarray, row_offsets: np.ndarray, n_rows: int) 
     if len(feature_hashes) == 0:
         return np.zeros(n_rows, dtype=np.uint64)
     fh = np.asarray(feature_hashes, dtype=np.uint64)
+    total = len(fh)
     shifts = np.arange(64, dtype=np.uint64)
-    bits = ((fh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-    votes = bits * 2 - 1  # ±1
-    sums = np.add.reduceat(votes, row_offsets, axis=0)  # (n_rows, 64)
+    bits = _scratch("simhash_bits", total * 64, np.uint64).reshape(total, 64)
+    np.right_shift(fh[:, None], shifts[None, :], out=bits)
+    np.bitwise_and(bits, np.uint64(1), out=bits)
+    votes = _scratch("simhash_votes", total * 64, np.int32).reshape(total, 64)
+    np.multiply(bits, 2, out=votes, casting="unsafe")
+    np.subtract(votes, 1, out=votes)
+    sums = np.add.reduceat(votes, row_offsets, axis=0)  # (n_rows, 64) small
     fingerprint_bits = (sums > 0).astype(np.uint64)
     return (fingerprint_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
 

@@ -116,19 +116,30 @@ def make_simhash_udf(cfg: LshConfig):
     def simhash_udf(blobs: pd.Series, phash: pd.Series) -> pd.Series:
         n = len(blobs)
         ph = phash.to_numpy(dtype=np.int64).view(np.uint64)
-        # 16 phash nibbles, position-salted feature hashes: (n, 16)
+        # one persistent (n, 80) feature buffer: 16 phash nibbles +
+        # 64 block codes, then position-salted hash_combine IN PLACE
+        # (fresh multi-MB temporaries are pathologically slow under the
+        # sandbox's mmap fault costs — see hashing._SCRATCH).
+        feats = H._scratch("simhash_feats", n * 80, np.uint64).reshape(n, 80)
         nib_idx = np.arange(16, dtype=np.uint64)
-        nibbles = (ph[:, None] >> (nib_idx[None, :] * np.uint64(4))) & np.uint64(0xF)
-        nib_feats = H.hash_combine_u64(nib_idx[None, :] + np.uint64(1), nibbles)
-        # 64 block features per image (decode is per-blob; vector math per batch)
-        blk = np.empty((n, 64), dtype=np.uint64)
+        np.right_shift(ph[:, None], nib_idx[None, :] * np.uint64(4), out=feats[:, :16])
+        np.bitwise_and(feats[:, :16], np.uint64(0xF), out=feats[:, :16])
+        # decode is per-blob (the batch shape is the real plumbing)
         for i, blob in enumerate(blobs):
             pixels, _ = decode_image(bytes(blob))
-            blk[i] = block_features(pixels).astype(np.uint64)
-        blk_idx = np.arange(64, dtype=np.uint64) + np.uint64(100)
-        blk_feats = H.hash_combine_u64(blk_idx[None, :], blk)
-        feats = np.concatenate([nib_feats, blk_feats], axis=1)  # (n, 80)
-        offsets = np.arange(n, dtype=np.int64) * feats.shape[1]
+            feats[i, 16:] = block_features(pixels).astype(np.uint64)
+        salts = np.empty(80, dtype=np.uint64)
+        salts[:16] = nib_idx + np.uint64(1)
+        salts[16:] = np.arange(64, dtype=np.uint64) + np.uint64(100)
+        # in-place: feats = hash_combine(salt, value)
+        np.add(feats, salts[None, :] + H.U64(0x9E3779B97F4A7C15), out=feats)
+        with np.errstate(over="ignore"):
+            np.bitwise_xor(feats, np.right_shift(feats, H.U64(32)), out=feats)
+            np.multiply(feats, H.U64(0x0E9846AF9B1A615D), out=feats)
+            np.bitwise_xor(feats, np.right_shift(feats, H.U64(32)), out=feats)
+            np.multiply(feats, H.U64(0x0E9846AF9B1A615D), out=feats)
+            np.bitwise_xor(feats, np.right_shift(feats, H.U64(28)), out=feats)
+        offsets = np.arange(n, dtype=np.int64) * 80
         sh = H.simhash64(feats.reshape(-1), offsets, n)
         return pd.Series(sh.view(np.int64))
 

@@ -14,6 +14,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The sandbox VM makes first-touch page faults on fresh mmap'd memory
+# ~100x normal cost, and glibc mmaps every allocation over the (adaptive)
+# threshold — so numpy temporaries above ~a few MB pay full fault cost on
+# EVERY kernel invocation. Pin the malloc thresholds high so big blocks
+# stay in the (warm, reused) heap. Applied to the driver here and to the
+# python workers via executorEnv below.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(128 * 1024 * 1024),
+    "MALLOC_TRIM_THRESHOLD_": str(256 * 1024 * 1024),
+}
+os.environ.update(_MALLOC_ENV)
+
 
 def get_spark(app_name: str = "dlsh", parallelism: int | None = None,
               shuffle_partitions: int | None = None,
@@ -37,7 +49,14 @@ def get_spark(app_name: str = "dlsh", parallelism: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # one BLAS thread per python worker — N workers x N BLAS threads
+        # oversubscribes the box quadratically
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
