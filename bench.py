@@ -86,7 +86,7 @@ def stage_worker(cores: int, fixture: str) -> dict:
     # long-lived), and the sandbox host has multi-second noisy-neighbor
     # bursts — so run several passes and report the min (the unloaded,
     # warm measurement). Observed warm-up depth here is ~2 full passes.
-    passes = [one_pass() for _ in range(5)]
+    passes = [one_pass() for _ in range(7)]
     secs = min(passes[1:])
     spark.stop()
     return {"cores": cores, "n_images": n, "secs": round(secs, 2),
@@ -178,6 +178,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--fixture", default=FIXTURE)
     ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--scaling-only", action="store_true")
     args = ap.parse_args()
 
     if args.stage_worker:
@@ -187,7 +188,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    times = headline_queries(sf_dir, cpus)
+    times = {} if args.scaling_only else headline_queries(sf_dir, cpus)
 
     scaling = None
     if not args.skip_scaling:

@@ -84,6 +84,11 @@ class DedupPipeline:
             "run_id": self.run_id, "status": status,
         })
         if self._manifest_path:
+            if status == "SKIPPED":
+                # a resumed run must not demote the stage's DONE record —
+                # the manifest tracks what is materialized, not what this
+                # particular run did (run-level history goes to lineage)
+                return
             m = self._manifest()
             if m.get("config_hash") != self.cfg.config_hash():
                 m = {"config_hash": self.cfg.config_hash(), "stages": {}}

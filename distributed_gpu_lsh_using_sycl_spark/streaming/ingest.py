@@ -1,0 +1,62 @@
+"""Incremental signature ingest with Structured Streaming.
+
+The reference is strictly single-shot batch (main.cpp:46-55); the
+streaming surface is new capability for the 10^12-image regime, where
+images arrive continuously: new files landing in the input table are
+signed incrementally and appended to the ``signatures`` stage table, so
+the (batch) banding/verify/CC stages always have fresh signatures to
+re-run against — signatures are by far the most expensive stage, and
+incremental signing amortizes them.
+
+The signature computation is the SAME operator as batch
+(``compute_signatures``) — stateless row-wise transforms compose with
+readStream unchanged, which is exactly why the stage split puts banding
+(stateful shuffle) behind the materialization boundary.
+
+Checkpointing: Spark's own streaming checkpoint (offsets + sink commit
+log) gives exactly-once file processing; the pipeline manifest governs
+the downstream batch stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+from distributed_gpu_lsh_using_sycl_spark.operators.signatures import compute_signatures
+
+IMAGES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("caption", T.StringType(), False),
+    T.StructField("phash", T.LongType(), False),
+])
+
+
+def signature_stream(spark: SparkSession, input_dir: str, out_dir: str,
+                     checkpoint_dir: str, cfg: LshConfig | None = None,
+                     with_image: bool = True, available_now: bool = True):
+    """readStream(parquet dir) -> compute_signatures -> append parquet.
+
+    ``available_now=True`` drains everything currently present and stops
+    (the testable batch-incremental mode); False runs continuously.
+    Returns the StreamingQuery.
+    """
+    cfg = cfg or LshConfig()
+    stream = (spark.readStream
+              .schema(IMAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 16)
+              .parquet(input_dir))
+    sigs = compute_signatures(stream, cfg, with_image=with_image)
+    writer = (sigs.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,99 @@
+"""Checkpoint/resume semantics + incremental streaming ingest."""
+
+import json
+import os
+
+import pytest
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+from distributed_gpu_lsh_using_sycl_spark.sources.fixture import make_fixture_pandas
+
+CFG = LshConfig(num_bands=16, rows_per_band=6)
+
+
+def _clusters_dict(res):
+    return {r["image_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    images, _ = make_fixture_pandas(80, seed=42)
+    return spark.createDataFrame(images)
+
+
+def test_resume_skips_done_stages_and_is_identical(spark, images_df, tmp_path_factory):
+    from distributed_gpu_lsh_using_sycl_spark.plans.pipeline import run_dedup
+
+    wh = str(tmp_path_factory.mktemp("wh"))
+    r1 = run_dedup(spark, images_df, CFG, warehouse=wh)
+    c1 = _clusters_dict(r1)
+    assert all(m["status"] == "DONE" for m in r1.metrics)
+
+    # full rerun: everything skipped, same clusters
+    r2 = run_dedup(spark, images_df, CFG, warehouse=wh)
+    assert all(m["status"] == "SKIPPED" for m in r2.metrics)
+    assert _clusters_dict(r2) == c1
+
+    # partial resume: invalidate the tail stages (simulates a crash after
+    # the pairs stage); only those recompute, result identical
+    mpath = os.path.join(wh, "_manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for stage in ("edges", "clusters"):
+        manifest["stages"][stage]["status"] = "CRASHED"
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    r3 = run_dedup(spark, images_df, CFG, warehouse=wh)
+    statuses = {m["stage"]: m["status"] for m in r3.metrics}
+    assert statuses["signatures"] == "SKIPPED"
+    assert statuses["pairs"] == "SKIPPED"
+    assert statuses["edges"] == "DONE"
+    assert statuses["clusters"] == "DONE"
+    assert _clusters_dict(r3) == c1
+
+    # config change invalidates everything
+    r4 = run_dedup(spark, images_df, LshConfig(num_bands=16, rows_per_band=6,
+                                               jaccard_threshold=0.6),
+                   warehouse=wh)
+    assert all(m["status"] == "DONE" for m in r4.metrics)
+
+    # lineage + metrics tables exist and carry every stage
+    lineage = spark.read.parquet(os.path.join(wh, "lineage"))
+    assert lineage.select("stage").distinct().count() >= 9
+    metrics = spark.read.parquet(os.path.join(wh, "metrics"))
+    assert metrics.filter("status = 'DONE'").count() >= 9
+
+
+def test_streaming_incremental_signatures(spark, tmp_path_factory):
+    from distributed_gpu_lsh_using_sycl_spark.operators.signatures import compute_signatures
+    from distributed_gpu_lsh_using_sycl_spark.streaming.ingest import signature_stream
+
+    base = tmp_path_factory.mktemp("stream")
+    inp, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(inp)
+
+    images, _ = make_fixture_pandas(60, seed=42)
+    chunk1, chunk2 = images.iloc[:40], images.iloc[40:]
+    spark.createDataFrame(chunk1).write.mode("overwrite").parquet(os.path.join(inp, "c1"))
+
+    cfg = LshConfig()
+    q = signature_stream(spark, inp + "/*", out, ckpt, cfg, available_now=True)
+    q.awaitTermination(300)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 40
+
+    # second chunk lands; incremental run signs ONLY the new files
+    spark.createDataFrame(chunk2).write.mode("overwrite").parquet(os.path.join(inp, "c2"))
+    q = signature_stream(spark, inp + "/*", out, ckpt, cfg, available_now=True)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+
+    # streamed signatures == batch signatures (same operator, same rows)
+    batch = compute_signatures(spark.createDataFrame(images), cfg)
+    bp = batch.select("image_id", "minhash", "simhash").toPandas() \
+              .sort_values("image_id").reset_index(drop=True)
+    sp = got.select("image_id", "minhash", "simhash").toPandas() \
+            .sort_values("image_id").reset_index(drop=True)
+    assert (bp["simhash"] == sp["simhash"]).all()
+    assert all((a == b) for a, b in zip(bp["minhash"].map(list), sp["minhash"].map(list)))
