@@ -145,9 +145,12 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
 
 
 def write_bench_md(scaling: dict, times: dict, sf_dir: str) -> None:
+    """Per-run snapshot -> BENCH/RUN_LATEST.md. BENCH/BASELINE.md is the
+    curated steady-state record (methodology + best observed) and is
+    never overwritten by a run."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lines = [
-        "# BENCH — measured throughput & strong scaling",
+        "# BENCH — this run's measurements (see BASELINE.md for methodology)",
         "",
         f"Input: deterministic synthetic image+caption fixture, {scaling['n_images']} rows",
         "(sources/fixture.py, seed 42); identical parquet input for both runs.",
@@ -168,7 +171,7 @@ def write_bench_md(scaling: dict, times: dict, sf_dir: str) -> None:
         "| query | sec |",
         "|---|---|",
     ] + [f"| {k} | {v} |" for k, v in times.items()] + [""]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "RUN_LATEST.md"), "w") as f:
         f.write("\n".join(lines))
 
 
