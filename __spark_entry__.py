@@ -522,10 +522,14 @@ def q_error_ratio(spark, sf):
 
 
 def q_collect_group(spark, sf):
-    """A3 analog: group materialization via collect_set (sorted)."""
+    """A3 analog: group materialization via collect_set (sorted). The set
+    is emitted as a joined STRING — the driver's canonicalizer sorts
+    columns pandas-side and array cells are unhashable there, so the
+    comparator contract requires scalar cells."""
     li = _t(spark, sf, "lineitem")
     return (li.groupBy("l_returnflag")
-            .agg(F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+            .agg(F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",")
+                 .alias("statuses"),
                  F.count("*").alias("cnt")))
 
 
@@ -643,9 +647,11 @@ select a.doc_id as a, b.doc_id as b,
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) as jaccard
 from sh a join sh b on a.doc_id < b.doc_id
 where len(a.s) + len(b.s) > 0
-  and cast(len(list_intersect(a.s, b.s)) as double)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_TAU}
+  and round(cast(len(list_intersect(a.s, b.s)) as double)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {JACCARD_TAU}
 """
+# NOTE: the filter is on the ROUNDED jaccard, matching the Spark side
+# exactly (a pair with true J in [0.4999995, 0.5) rounds up on both sides).
 
 
 def _in_list(items) -> str:
@@ -770,11 +776,15 @@ def oracle_sql() -> dict[str, str]:
             "select l_partkey % 1009 as bucket, count(*) as cnt "
             "from lineitem group by 1",
         "bucket_offsets": """
+            -- casts: DuckDB window sums return HUGEINT, which reaches the
+            -- driver's hasher as a non-int64 cell and hash-mismatches even
+            -- when values are equal. Everything integral goes out as bigint.
             with h as (select l_partkey % 1009 as bucket, count(*) as cnt
                        from lineitem group by 1)
             select bucket, cnt,
-              coalesce(sum(cnt) over (order by bucket
-                rows between unbounded preceding and 1 preceding), 0) as offset
+              cast(coalesce(sum(cnt) over (order by bucket
+                rows between unbounded preceding and 1 preceding), 0) as bigint)
+                as offset
             from h""",
         "topk_per_group": """
             with r as (select l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
@@ -813,7 +823,8 @@ def oracle_sql() -> dict[str, str]:
             from per_order""",
         "collect_group": """
             select l_returnflag,
-              list_sort(list_distinct(list(l_linestatus))) as statuses,
+              array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+                as statuses,
               count(*) as cnt
             from lineitem group by l_returnflag""",
         "set_ops": """
@@ -838,11 +849,12 @@ def oracle_sql() -> dict[str, str]:
                 when tsec - lag(tsec) over
                 (partition by user_id order by tsec, event_id) > 1800 then 1
                 else 0 end as new_sess from t),
-            s as (select *, sum(new_sess) over (partition by user_id
+            s as (select *, cast(sum(new_sess) over (partition by user_id
                 order by tsec, event_id
-                rows between unbounded preceding and current row) as session_id from m)
+                rows between unbounded preceding and current row) as bigint)
+                as session_id from m)
             select user_id, session_id, count(*) as n_events,
               min(tsec) as first_ts, max(tsec) as last_ts,
-              round(sum(value), 4) as sum_value
+              round(cast(sum(value) as double), 4) as sum_value
             from s group by user_id, session_id""",
     }

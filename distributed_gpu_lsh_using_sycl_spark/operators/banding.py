@@ -13,7 +13,9 @@ Skew policy (explicit, AQE skew-join as backstop):
 2. buckets over ``max_bucket_size`` are deterministically down-sampled
    (hash filter) — a degenerate bucket (e.g. empty-ish captions all
    hashing together) would emit O(n²) pairs at 10^12 scale; the dropped
-   count is reported, never silent.
+   count is reported, never silent: ``downsample_dropped`` computes the
+   exact per-bucket drop counts and the pipeline records the total into
+   its ``metrics`` table (stage ``cand_*:dropped``).
 3. buckets over ``hot_bucket_threshold`` get ``m = clamp(ceil(cnt/thr),
    1, n_salts)`` salts; each member takes salt s = xxhash64(id) % m and
    is replicated into the (s, t) salt-pair grid:
@@ -48,6 +50,33 @@ def bucket_stats(bands: DataFrame) -> DataFrame:
     return bands.groupBy("band_id", "bucket").agg(F.count("*").alias("cnt"))
 
 
+def _downsample_keep(cfg: LshConfig):
+    """The deterministic survive-predicate for degenerate-bucket members
+    (expects ``cnt`` attached). Shared by pair generation and the drop
+    accounting so the two can never disagree."""
+    return (F.col("cnt") <= F.lit(cfg.max_bucket_size)) | (
+        F.pmod(F.xxhash64("image_id", F.lit(cfg.seed)), F.col("cnt"))
+        < F.lit(cfg.max_bucket_size)
+    )
+
+
+def downsample_dropped(bands: DataFrame, cfg: LshConfig) -> DataFrame:
+    """Per-bucket drop accounting for the ``max_bucket_size`` cap —
+    (band_id, bucket, cnt, dropped). Empty when the cap is off or no
+    bucket is degenerate. The no-silent-caps rule: callers (the pipeline)
+    aggregate + record this; it shares the exact predicate used by
+    ``candidate_pairs_from_bands``."""
+    if cfg.max_bucket_size <= 0:
+        return (bands.sparkSession.createDataFrame(
+            [], "band_id int, bucket long, cnt long, dropped long"))
+    stats = bucket_stats(bands).filter(F.col("cnt") > cfg.max_bucket_size)
+    dropped = (bands.join(F.broadcast(stats), ["band_id", "bucket"])
+               .filter(~_downsample_keep(cfg))
+               .groupBy("band_id", "bucket", "cnt")
+               .agg(F.count("*").alias("dropped")))
+    return dropped
+
+
 def candidate_pairs_from_bands(bands: DataFrame, cfg: LshConfig,
                                source: str = "minhash") -> DataFrame:
     """(image_id, band_id, bucket) -> distinct candidate pairs (a < b).
@@ -73,12 +102,9 @@ def candidate_pairs_from_bands(bands: DataFrame, cfg: LshConfig,
     )
     if cfg.max_bucket_size > 0:
         # deterministic down-sample of degenerate buckets; survivors keep
-        # expected ~max_bucket_size members.
-        keep = (F.col("cnt") <= F.lit(cfg.max_bucket_size)) | (
-            F.pmod(F.xxhash64("image_id", F.lit(cfg.seed)), F.col("cnt"))
-            < F.lit(cfg.max_bucket_size)
-        )
-        b = b.filter(keep)
+        # expected ~max_bucket_size members. Dropped members are accounted
+        # by downsample_dropped (same predicate) — see module docstring.
+        b = b.filter(_downsample_keep(cfg))
     b = b.withColumn(
         "salt", F.pmod(F.xxhash64("image_id", F.lit(cfg.seed + 1)), F.col("m")).cast("int")
     )
@@ -103,33 +129,49 @@ def candidate_pairs_from_bands(bands: DataFrame, cfg: LshConfig,
     return pairs
 
 
-def simhash_band_cols(simhash_col, n_bands: int = 8):
-    """Split a 64-bit simhash/phash into n_bands byte-bands for exact-match
-    blocking. Pigeonhole: hamming(x, y) < n_bands ⇒ at least one band equal,
-    so recall is 1.0 for distance < n_bands and measured (≥0.99 on the
-    fixture) at the configured threshold."""
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    return [
-        F.shiftrightunsigned(simhash_col, i * width).bitwiseAND(F.lit(mask)).alias(f"hb{i}")
-        for i in range(n_bands)
-    ]
+def _band_widths(n_bands: int) -> list[int]:
+    """Widths of n_bands contiguous bit-bands that PARTITION all 64 bits
+    (remainder bits spread over the first bands), so the pigeonhole bound
+    holds with no uncovered bits."""
+    base, rem = divmod(64, n_bands)
+    return [base + (1 if i < rem else 0) for i in range(n_bands)]
+
+
+def simhash_band_cols(simhash_col, n_bands: int = 9):
+    """Split a 64-bit simhash/phash into n_bands bit-bands for exact-match
+    blocking. Pigeonhole: the bands partition all 64 bits, so
+    hamming(x, y) < n_bands ⇒ at least one band equal. With
+    n_bands = hamming_threshold + 1 blocking recall is exactly 1.0 at the
+    verification boundary (pairs at hamming == threshold are guaranteed a
+    shared band)."""
+    out, off = [], 0
+    for i, width in enumerate(_band_widths(n_bands)):
+        mask = (1 << width) - 1
+        out.append(F.shiftrightunsigned(simhash_col, off)
+                   .bitwiseAND(F.lit(mask)).alias(f"hb{i}"))
+        off += width
+    return out
 
 
 def hash_band_pairs(signatures: DataFrame, hash_col: str, cfg: LshConfig,
-                    source: str, n_bands: int = 8) -> DataFrame:
-    """Candidate pairs from byte-banding a 64-bit hash column (simhash or
+                    source: str, n_bands: int | None = None) -> DataFrame:
+    """Candidate pairs from bit-banding a 64-bit hash column (simhash or
     phash). Reuses the salted-pair machinery by mapping each (band, value)
-    block to the (band_id, bucket) shape."""
+    block to the (band_id, bucket) shape.
+
+    ``n_bands`` defaults to ``cfg.hamming_threshold + 1`` so the pigeonhole
+    guarantee covers pairs AT the threshold, not just below it (hamming <=
+    t < t+1 bands ⇒ a shared band — blocking recall 1.0 at the boundary).
+    """
+    if n_bands is None:
+        n_bands = cfg.hamming_threshold + 1
     base = signatures.filter(F.col(hash_col).isNotNull()).select(
         "image_id", F.col(hash_col).alias("h"))
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    cols, off = [], 0
+    for width in _band_widths(n_bands):
+        mask = (1 << width) - 1
+        cols.append(F.shiftrightunsigned(F.col("h"), off).bitwiseAND(F.lit(mask)))
+        off += width
     bands = base.select(
-        "image_id",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("h"), i * width).bitwiseAND(F.lit(mask))
-            for i in range(n_bands)
-        ])).alias("band_id", "bucket"),
-    )
+        "image_id", F.posexplode(F.array(*cols)).alias("band_id", "bucket"))
     return candidate_pairs_from_bands(bands, cfg, source=source)

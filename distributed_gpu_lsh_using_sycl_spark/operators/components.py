@@ -72,13 +72,25 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     cur = edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
     cur = cur.localCheckpoint(eager=True)
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         cur = _large_star(cur).localCheckpoint(eager=True)
         cur = _small_star(cur).localCheckpoint(eager=True)
         sig = _edge_checksum(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # an exhausted iteration budget is NOT convergence — callers must
+        # be able to tell a truncated assignment from a fixed point.
+        import warnings
+
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} without the "
+            "edge set stabilizing; the returned assignment may be incomplete "
+            "(raise max_iter — large-star/small-star needs O(log^2 n) rounds)",
+            RuntimeWarning, stacklevel=2)
     # stars: b is the root (minimum). Members:
     members = cur.select(F.col("a").alias("image_id"), F.col("b").alias("cluster_id"))
     roots = cur.select(F.col("b").alias("image_id"), F.col("b").alias("cluster_id")).distinct()

@@ -149,6 +149,16 @@ class DedupPipeline:
         t["cand_minhash"] = self._stage(
             "cand_minhash",
             lambda: banding.candidate_pairs_from_bands(t["bands"], cfg, source="minhash"))
+        if cfg.max_bucket_size > 0:
+            # no-silent-caps: the degenerate-bucket down-sample's exact drop
+            # count goes into metrics (one cheap aggregate over the already
+            # materialized bands stage).
+            t0 = time.perf_counter()
+            n_dropped = (banding.downsample_dropped(t["bands"], cfg)
+                         .agg(F.coalesce(F.sum("dropped"), F.lit(0)))
+                         .collect()[0][0])
+            self._record("cand_minhash:dropped", "INFO", int(n_dropped),
+                         int((time.perf_counter() - t0) * 1000))
 
         if self.with_image:
             t["cand_simhash"] = self._stage(

@@ -55,18 +55,48 @@ def test_bucket_cap_downsamples_degenerate_bucket(spark):
 
 
 def test_hash_band_pairs_guarantee(spark):
-    """hamming < n_bands ⇒ pair is surfaced (pigeonhole on byte bands)."""
-    from distributed_gpu_lsh_using_sycl_spark.operators.banding import hash_band_pairs
+    """hamming <= hamming_threshold ⇒ pair is surfaced (pigeonhole with
+    threshold+1 bit-bands partitioning all 64 bits), including pairs AT
+    the threshold; a pair differing in every band is missed."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        _band_widths, hash_band_pairs)
 
+    cfg = LshConfig()  # hamming_threshold = 8 -> 9 bands
+    widths = _band_widths(cfg.hamming_threshold + 1)
+    offs = [sum(widths[:i]) for i in range(len(widths))]
     base = 0x0123456789ABCDEF
-    near = base ^ 0b1011  # hamming 3, all in one byte
-    far = base ^ 0x8181818181818181  # hamming 8, one bit per band
+    near = base ^ 0b1011  # hamming 3, one band
+    # hamming exactly 8 = one bit in each of the FIRST 8 bands; 9th shared
+    at_threshold = base
+    for o in offs[:8]:
+        at_threshold ^= 1 << o
+    # one bit in EVERY band (hamming 9 > threshold): guaranteed miss
+    far = base
+    for o in offs:
+        far ^= 1 << o
     df = spark.createDataFrame(
-        [("a", base), ("b", near), ("c", far)], ["image_id", "h"]
+        [("a", base), ("b", near), ("c", far), ("d", at_threshold)],
+        ["image_id", "h"],
     ).select("image_id", F.col("h").cast("long").alias("simhash"),
              F.col("h").cast("long").alias("phash"), F.lit(None).alias("shingles"))
-    cfg = LshConfig()
     pairs = {(r["a"], r["b"]) for r in
              hash_band_pairs(df, "simhash", cfg, "simhash").select("a", "b").collect()}
     assert ("a", "b") in pairs
+    assert ("a", "d") in pairs  # the boundary case the 8-band split missed
     assert ("a", "c") not in pairs  # every band differs by construction
+
+
+def test_downsample_dropped_accounting(spark):
+    """The degenerate-bucket cap's drop count is exact: kept + dropped ==
+    bucket size, and the kept set matches what pair generation used."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        downsample_dropped)
+
+    rows = [(f"d{i:04d}", 0, 1) for i in range(200)] + [("e1", 0, 2), ("e2", 0, 2)]
+    cfg = LshConfig(hot_bucket_threshold=8, n_salts=4, max_bucket_size=20)
+    bands = spark.createDataFrame(rows, ["image_id", "band_id", "bucket"])
+    drops = downsample_dropped(bands, cfg).collect()
+    assert len(drops) == 1  # only the degenerate bucket appears
+    d = drops[0]
+    assert d["bucket"] == 1 and d["cnt"] == 200
+    assert 0 < d["dropped"] < 200
