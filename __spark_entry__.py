@@ -104,8 +104,11 @@ def q_dedup_minhash_lsh_pairs(spark, sf):
 
     cfg = _dedup_cfg()
     d = _t(spark, sf, "documents")
+    # eager localCheckpoint: the candidate join launches stats/left/right
+    # stages concurrently — a lazy persist would recompute the UDF chain
+    # in each (see plans/pipeline.py for the same note)
     sigs = compute_signatures(d, cfg, id_col="doc_id", text_col="text",
-                              with_image=False).persist()
+                              with_image=False).localCheckpoint(eager=True)
     bands = banding.explode_bands(sigs)
     cands = banding.candidate_pairs_from_bands(bands, cfg, source="minhash")
     verified = pairs.verify_pairs(pairs.attach_features(cands, sigs), cfg)
@@ -134,17 +137,26 @@ def q_dedup_substring_pairs(spark, sf):
 
 
 def q_lcs_window_pairs(spark, sf):
-    """Pairs sharing an exact common substring of length >= L (suffix-array
-    verified; equivalent to sharing one length-L character window)."""
-    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
-    from distributed_gpu_lsh_using_sycl_spark.operators.suffix import (
-        substring_candidates, verify_substring_pairs)
-
-    cfg = LshConfig(min_substring_len=SUBSTR_L)
-    d = _t(spark, sf, "documents")
-    cands = substring_candidates(d, cfg, id_col="doc_id", text_col="text")
-    return (verify_substring_pairs(cands, d, cfg, id_col="doc_id", text_col="text")
-            .select("a", "b"))
+    """Pairs with a common substring of length >= L. lcs(a,b) >= L is
+    EQUIVALENT to sharing one length-L character window, so the exact
+    plan is a distinct-window equi-join — entirely JVM-side (transform/
+    substr/array_distinct in whole-stage codegen, hash join on the window
+    string), zero Python. The suffix-array/rolling-hash machinery remains
+    the pipeline's candidate+verify path (operators/suffix.py), where the
+    hash join keeps the shuffle 3x narrower; this query is the exact
+    semantics stated directly."""
+    d = _t(spark, sf, "documents").filter(F.length("text") >= SUBSTR_L)
+    wins = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length("text") - F.lit(SUBSTR_L - 1)),
+            lambda i: F.col("text").substr(i, F.lit(SUBSTR_L))))).alias("w"))
+    a = wins.select(F.col("doc_id").alias("a"), "w")
+    b = wins.select(F.col("doc_id").alias("b"), "w")
+    return (a.join(b, "w")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct())
 
 
 def q_doc_simhash_pairs(spark, sf):
@@ -176,9 +188,11 @@ def q_doc_simhash_pairs(spark, sf):
         return pd.Series(out.view(np.int64))
 
     d = _t(spark, sf, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     sigs = (d.select(F.col("doc_id").alias("image_id"),
                      shingle_crc_col(F.col("text"), SHINGLE_K).alias("shingles"))
-            .withColumn("simhash", text_simhash("shingles")).persist())
+            .withColumn("simhash", text_simhash("shingles"))
+            .localCheckpoint(eager=True))
     cands = hash_band_pairs(sigs, "simhash", LshConfig(), source="simhash")
     sh = sigs.select(F.col("image_id"), F.col("simhash"))
     withs = (cands

@@ -117,12 +117,24 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
              "ann_lsh_topk", "q1_pricing_summary", "revenue_by_nation",
              "topk_per_group", "sessionization", "windowed_events"]
     qs = E.queries()
-    # warm the python worker pool + Arrow path once so the first timed
-    # query doesn't pay worker-fork cost
+    # Warm the python worker pool THROUGH the real UDF path: workers are
+    # forked lazily and each pays numpy/pandas/engine imports plus scratch
+    # first-touch on its first pandas-UDF task (measured 40-70s across 32
+    # workers on this sandbox's fault-slow mmap). A plain JVM warm-up does
+    # not touch them; run a small signature pass over every core instead.
     from pyspark.sql import functions as F
 
-    warm = spark.range(10000).withColumn("s", F.col("id") + 1)
-    warm.write.format("noop").mode("overwrite").save()
+    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+    from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
+        compute_signatures)
+
+    warm = (spark.range(cores * 8)
+            .repartition(cores)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit("warm up text "), F.col("id")).alias("text")))
+    compute_signatures(warm, LshConfig(), id_col="doc_id", text_col="text",
+                       with_image=False) \
+        .write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name in picks:
         t0 = time.perf_counter()

@@ -159,6 +159,13 @@ def compute_signatures(images: DataFrame, cfg: LshConfig,
     with parquet/Iceberg the scan never materializes ``bytes`` unless the
     image path is on (check ReadSchema in .explain).
     """
+    # Tiny inputs (one small parquet file) arrive as a single partition,
+    # which would serialize the whole UDF chain onto one core. Widen ONLY
+    # in that case — a real corpus already has >= parallelism splits and
+    # must not pay a full (bytes+caption) shuffle here.
+    target = images.sparkSession.sparkContext.defaultParallelism
+    if images.rdd.getNumPartitions() < target:
+        images = images.repartition(target)
     minhash_udf = make_minhash_udf(cfg)
     out = (
         images

@@ -143,6 +143,35 @@ def _kasai_lcp(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
+def lcs_fast(a: str, b: str) -> int:
+    """Exact LCS length via containment short-circuit + binary search on
+    shared fixed-length windows (Rabin-Karp shape, but with real string
+    sets — C-speed hashing, zero collisions). Equivalent to
+    ``longest_common_substring`` (property-tested) and ~an order of
+    magnitude faster in Python for caption-sized strings, because every
+    inner operation is a C-level slice/hash instead of a numpy
+    prefix-doubling pass."""
+    if not a or not b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    if a in b:
+        return len(a)
+    lo, hi = 0, len(a) - 1  # not contained -> lcs < len(a)
+
+    def shared(k: int) -> bool:
+        wa = {a[i:i + k] for i in range(len(a) - k + 1)}
+        return any(b[i:i + k] in wa for i in range(len(b) - k + 1))
+
+    while lo < hi:
+        mid = (lo + hi + 1) >> 1
+        if shared(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def longest_common_substring(a: str, b: str) -> int:
     """Exact LCS length via suffix array + Kasai over a#b."""
     if not a or not b:
@@ -172,7 +201,7 @@ def verify_substring_pairs(cands: DataFrame, docs: DataFrame, cfg: LshConfig,
 
     @F.pandas_udf(T.IntegerType())
     def lcs_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        return pd.Series([longest_common_substring(x or "", y or "")
+        return pd.Series([lcs_fast(x or "", y or "")
                           for x, y in zip(ta, tb)], dtype="int32")
 
     return (withs

@@ -141,9 +141,12 @@ class DedupPipeline:
         sigs = t["signatures"]
         if not self.io:
             # signatures feed bands + both sides of the rehydration join;
-            # without a materialized stage table, persist or the pandas
-            # UDFs recompute 3x (measured 6x slowdown on the verify path)
-            sigs = t["signatures"] = sigs.persist()
+            # without a materialized stage table the pandas UDFs recompute
+            # 3x. A lazy persist() is NOT enough: the candidate job's
+            # stats/left/right stages launch concurrently and each computes
+            # the uncached partitions (measured 3 duplicate UDF stages) —
+            # eager localCheckpoint materializes exactly once, up front.
+            sigs = t["signatures"] = sigs.localCheckpoint(eager=True)
 
         t["bands"] = self._stage("bands", lambda: banding.explode_bands(sigs))
         t["cand_minhash"] = self._stage(
