@@ -305,47 +305,15 @@ def q_knn_brute_topk(spark, sf, k: int = 5):
 
 
 def q_knn_block_matmul_topk(spark, sf, k: int = 5):
-    """Block-brute-force cosine top-k: mapInPandas over row blocks with the
-    (broadcast) full matrix — one BLAS matmul per Arrow batch, no join.
-    The 100TB design tiles the broadcast side; here one tile suffices.
-    Same output contract/oracle as q_knn_brute_topk (sims rounded to 6
-    before ranking, id tie-break)."""
-    import numpy as np
-    import pandas as pd
+    """Exact cosine top-k via TILED broadcast block-matmul: the driver
+    never holds more than one fixed-size tile of the neighbor side; per-
+    tile top-k (total order (-sim, id)) are unioned and window-re-ranked.
+    Same output contract/oracle as q_knn_brute_topk. See
+    operators/embedding.knn_topk_tiled for the exactness argument."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import knn_topk_tiled
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()  # the broadcast tile (sf0.1: 2000 x 64 floats)
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    B = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Bn))
-
-    def topk(batches):
-        bids, bmat = bc.value
-        for pdf in batches:
-            qids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            Q = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            sims = np.round(Qn @ bmat.T, 6)
-            # exclude self matches by id
-            self_mask = qids[:, None] == bids[None, :]
-            sims[self_mask] = -np.inf
-            # top-k by (-sim, id): lexsort per row
-            out_rows = []
-            nk = min(k, sims.shape[1] - 1)
-            part = np.argpartition(-sims, nk - 1, axis=1)[:, : max(nk * 4, nk)]
-            for i in range(len(qids)):
-                cand = part[i]
-                order = sorted(cand.tolist(), key=lambda j: (-sims[i, j], bids[j]))[:nk]
-                for rank, j in enumerate(order, 1):
-                    out_rows.append((int(qids[i]), int(bids[j]), rank,
-                                     float(sims[i, j])))
-            yield pd.DataFrame(out_rows,
-                               columns=["vec_id", "neighbor_id", "rank", "sim"])
-
-    cores = spark.sparkContext.defaultParallelism
-    return e.repartition(cores).mapInPandas(
-        topk, schema="vec_id long, neighbor_id long, rank int, sim double")
+    return knn_topk_tiled(e, k=k, tile_target=1024)
 
 
 def q_embedding_neardup_pairs(spark, sf):
@@ -363,40 +331,30 @@ def q_embedding_neardup_pairs(spark, sf):
             .select("a", "b", "sim"))
 
 
-def q_ann_lsh_topk(spark, sf, k: int = 5, n_planes: int = 12):
-    """Random-hyperplane LSH ANN: bucket by sign bits, candidates within
-    bucket, exact re-rank. The scale path for q_knn_brute_topk; rows-only
-    check (approximation has no SQL oracle)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+def q_ann_lsh_topk(spark, sf, k: int = 5):
+    """Multi-table (L=8, OR-construction like the reference's L-table
+    probe) sign-bit LSH ANN with salted bucket joins and exact re-rank.
+    Rows-only check (approximation has no SQL oracle); recall vs the brute
+    top-k is asserted ≥ 0.9 on clustered data in tests/test_embedding.py."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import ann_topk_lsh
 
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    dims = len(e.select("v").head()[0])
-    rng = np.random.Generator(np.random.PCG64(42))
-    planes = rng.standard_normal((n_planes, dims))
+    return ann_topk_lsh(e, k=k, n_tables=8, bits=6, seed=11)
 
-    @F.pandas_udf(T.LongType())
-    def bucket_udf(vs):
-        m = np.asarray(vs.tolist(), dtype=np.float64)
-        bits = (m @ planes.T) > 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(bits @ weights)
 
-    eb = _with_norm(e).withColumn("bucket", bucket_udf("v")).persist()
-    a = eb.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"),
-                  F.col("norm").alias("na"), "bucket")
-    b = eb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
-                  F.col("norm").alias("nb"), "bucket")
-    sims = (a.join(b, "bucket")
-            .filter(F.col("vec_id") != F.col("neighbor_id"))
-            .withColumn("sim", F.round(_dot(F.col("va"), F.col("vb"))
-                                       / (F.col("na") * F.col("nb")), 6)))
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (sims.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("vec_id", "neighbor_id", "rank", "sim"))
+def q_embedding_neardup_lsh_pairs(spark, sf):
+    """Scale path for q_embedding_neardup_pairs: banded multi-table
+    hyperplane LSH candidates (salted/skew-split) + exact cosine verify.
+    LSH-then-verify reproduces the brute-force set (same SQL oracle);
+    per-pair miss probability at tau ≈ 8e-5 with 32 bands x 6 bits, and
+    the non-empty-truth case is pinned by tests/test_embedding.py."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        neardup_pairs_lsh)
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return neardup_pairs_lsh(e, tau=NEARDUP_COS, n_bands=32, bits=6, seed=7)
 
 
 def q_rp_parity_buckets(spark, sf):
@@ -429,6 +387,24 @@ def q_rp_parity_buckets(spark, sf):
 
     return (e.withColumn("buckets", rp_udf("v"))
             .select("vec_id", F.posexplode("buckets").alias("band_id", "bucket")))
+
+
+def q_cc_clusters(spark, sf):
+    """Connected components (large-star/small-star, operators/components)
+    under the hard correctness signal: edges = exact-dup pairs ∪
+    substring-containment pairs (both SQL-derivable, and containment
+    CHAINS — a⊂b, b⊂c — make non-trivial components), clusters = component
+    minimum, singletons = self. Oracle: DuckDB recursive-CTE transitive
+    closure with min-aggregation."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.components import (
+        assign_clusters)
+
+    d = _t(spark, sf, "documents")
+    exact = q_dedup_exact_pairs(spark, sf)
+    subs = q_dedup_substring_pairs(spark, sf)
+    edges = exact.unionByName(subs).distinct()
+    return (assign_clusters(d, edges, id_col="doc_id")
+            .select(F.col("image_id").alias("doc_id"), "cluster_id"))
 
 
 # --------------------------------------------------------------------------- #
@@ -621,9 +597,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "cc_clusters": q_cc_clusters,
         "knn_brute_topk": q_knn_brute_topk,
         "knn_block_matmul_topk": q_knn_block_matmul_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "embedding_neardup_lsh_pairs": q_embedding_neardup_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -688,6 +666,19 @@ _KNN_SQL = """
     ranked as (select *, row_number() over
       (partition by vec_id order by sim desc, neighbor_id) as rank from sims)
     select vec_id, neighbor_id, rank, sim from ranked where rank <= 5"""
+
+
+_NEARDUP_SQL = f"""
+    select a.vec_id as a, b.vec_id as b,
+      round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+        6) as sim
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+        6) >= {NEARDUP_COS}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -755,19 +746,26 @@ def oracle_sql() -> dict[str, str]:
                                i -> cast(ord(substr(text, i, 1)) as bigint))),
               (acc, c) -> (acc * 31 + c) % {FP_MOD}) as fp
             from documents""",
+        "cc_clusters": f"""
+            with recursive
+            ex as (select a.doc_id as a, b.doc_id as b from documents a
+                   join documents b on a.text = b.text and a.doc_id < b.doc_id),
+            sub as (select a.doc_id as a, b.doc_id as b
+                    from documents a join documents b on a.doc_id < b.doc_id
+                    where least(length(a.text), length(b.text)) >= {SUBSTR_L}
+                      and (contains(a.text, b.text) or contains(b.text, a.text))),
+            e as (select a as u, b as v from ex union select b, a from ex
+                  union select a as u, b as v from sub union select b, a from sub),
+            walk(id, r) as (
+              select doc_id, doc_id from documents
+              union
+              select w.id, e.v from walk w join e on e.u = w.r
+            )
+            select id as doc_id, min(r) as cluster_id from walk group by id""",
         "knn_block_matmul_topk": _KNN_SQL,
         "knn_brute_topk": _KNN_SQL,
-        "embedding_neardup_pairs": f"""
-            select a.vec_id as a, b.vec_id as b,
-              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                6) as sim
-            from embeddings a join embeddings b on a.vec_id < b.vec_id
-            where round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                6) >= {NEARDUP_COS}""",
+        "embedding_neardup_pairs": _NEARDUP_SQL,
+        "embedding_neardup_lsh_pairs": _NEARDUP_SQL,
         "q1_pricing_summary": """
             select l_returnflag, l_linestatus,
               round(sum(l_quantity), 4) as sum_qty,

@@ -1,0 +1,204 @@
+"""Embedding-similarity operators: hyperplane LSH near-dup, multi-table
+ANN top-k, and tiled exact kNN.
+
+This is the dense-vector analog of the caption/image dedup path, built on
+the same three-stage shape as the reference's search
+(``hash_tables.hpp:388-494``): signature → banded bucket join → exact
+verify. The reference always probes L hash tables (OR-construction,
+``hash_tables.hpp:566-578``); we keep that structure — each *band* here is
+one table of sign-bit hyperplane hashes (Charikar SimHash for cosine).
+
+Scale design:
+- bucket joins go through ``banding.candidate_pairs_from_bands`` — the
+  salted, hot-bucket-split, degenerate-capped machinery — so a hot bucket
+  never puts O(n²) pair generation in one task;
+- verification is JVM-side (``aggregate``/``zip_with`` dot product in
+  whole-stage codegen) over pre-computed norms, no Python per pair;
+- the exact kNN path never materializes the full table on the driver: it
+  iterates fixed-size broadcast tiles (driver holds ONE tile), computes
+  per-tile top-k in a BLAS matmul per Arrow batch, and re-ranks the tile
+  union with a window — correct because the global top-k under the total
+  order (-sim, neighbor_id) is contained in the union of per-tile top-k
+  under the same order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+
+
+def dot_col(a, b):
+    """Sequential-fold dot product of two array<double> columns (JVM)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda s, x: s + x)
+
+
+def with_norm(e: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Precompute ||v|| once per row — pairwise stages must never
+    recompute norms per pair."""
+    return e.withColumn("norm", F.sqrt(dot_col(F.col(vec_col), F.col(vec_col))))
+
+
+def hyperplane_planes(seed: int, n_planes: int, dims: int) -> np.ndarray:
+    """Seeded Gaussian hyperplanes (Charikar sign-hash family); the
+    driver-side draw-then-broadcast mirrors the reference's pool gen +
+    MPI_Bcast (random_projections.cpp:29-79)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dims))
+
+
+def hyperplane_bands(e: DataFrame, n_bands: int, bits: int, seed: int,
+                     id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """(id, vec) -> exploded (image_id, band_id, bucket): n_bands tables of
+    ``bits`` sign bits each. One Arrow-batched matmul per batch."""
+    dims = len(e.select(vec_col).head()[0])
+    planes = hyperplane_planes(seed, n_bands * bits, dims)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(vs: pd.Series) -> pd.Series:
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        signs = (m @ planes.T) > 0  # (n, n_bands*bits)
+        b = signs.reshape(len(m), n_bands, bits) @ weights
+        return pd.Series(b.tolist())
+
+    return (e.select(F.col(id_col).alias("image_id"),
+                     buckets_udf(F.col(vec_col)).alias("bk"))
+            .select("image_id", F.posexplode("bk").alias("band_id", "bucket")))
+
+
+def neardup_pairs_lsh(e: DataFrame, tau: float, cfg: LshConfig | None = None,
+                      n_bands: int = 32, bits: int = 6, seed: int = 7,
+                      id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """Scale path for cosine near-dup pairs: banded hyperplane LSH
+    candidates (salted) + exact cosine verify, (a, b, sim) with sim
+    rounded to 6 and filtered on the ROUNDED value (oracle contract).
+
+    Per-band collision for similarity s is (1 - acos(s)/pi)^bits; with the
+    defaults a tau=0.8 pair is missed with p ≈ (1-0.254)^32 ≈ 8e-5 —
+    vanishing vs the brute-force oracle on any planted-dup fixture
+    (asserted in tests/test_embedding.py with non-empty truth).
+    """
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        candidate_pairs_from_bands)
+
+    cfg = cfg or LshConfig()
+    en = with_norm(e.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("v")),
+                   "v").localCheckpoint(eager=True)
+    bands = hyperplane_bands(en, n_bands, bits, seed)
+    cands = candidate_pairs_from_bands(bands, cfg, source="hyperplane")
+    va = en.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                   F.col("norm").alias("na"))
+    vb = en.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                   F.col("norm").alias("nb"))
+    return (cands.join(va, "a").join(vb, "b")
+            .withColumn("sim", F.round(dot_col(F.col("va"), F.col("vb"))
+                                       / (F.col("na") * F.col("nb")), 6))
+            .filter(F.col("sim") >= F.lit(tau))
+            .select("a", "b", "sim"))
+
+
+def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
+                 seed: int = 11, cfg: LshConfig | None = None,
+                 id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """Approximate cosine top-k: L sign-bit hash tables (OR-construction,
+    the reference's L-table probe, hash_tables.hpp:566-578), salted bucket
+    join, exact re-rank of the candidate union.
+
+    Candidates come from the same salted pair machinery as every other
+    bucket join (hot buckets split, degenerate buckets capped) and are
+    expanded to both directions before ranking. Points whose buckets are
+    empty yield fewer than k rows — the ANN contract (recall vs the brute
+    oracle is measured in tests, ≥ 0.9 on clustered data).
+    """
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        candidate_pairs_from_bands)
+
+    cfg = cfg or LshConfig()
+    en = with_norm(e.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("v")),
+                   "v").localCheckpoint(eager=True)
+    bands = hyperplane_bands(en, n_tables, bits, seed)
+    pairs = candidate_pairs_from_bands(bands, cfg, source="ann")
+    sym = (pairs.select(F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id"))
+           .unionAll(pairs.select(F.col("b").alias("vec_id"),
+                                  F.col("a").alias("neighbor_id"))))
+    va = en.select(F.col("vec_id"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    vb = en.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+                   F.col("norm").alias("nb"))
+    sims = (sym.join(va, "vec_id").join(vb, "neighbor_id")
+            .withColumn("sim", F.round(dot_col(F.col("va"), F.col("vb"))
+                                       / (F.col("na") * F.col("nb")), 6)))
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "rank", "sim"))
+
+
+def knn_topk_tiled(e: DataFrame, k: int = 5, tile_target: int = 4096,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """EXACT cosine top-k without driver-side materialization of the full
+    table: the neighbor side is processed in ceil(n/tile_target) tiles;
+    each tile is collected (bounded driver memory: ONE tile), broadcast,
+    and scanned with one BLAS matmul per Arrow batch; per-tile top-k under
+    (-sim, neighbor_id) are unioned and re-ranked by a window.
+
+    Exactness: the comparator is a TOTAL order, so any global top-k row is
+    within the top-k of its own tile — the union never loses a winner (and
+    ties at the boundary sim are broken identically everywhere, fixing the
+    truncated-argpartition tie hazard of a heuristic candidate slice).
+    """
+    from functools import reduce
+
+    spark = e.sparkSession
+    src = e.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    n = src.count()
+    n_tiles = max(1, math.ceil(n / tile_target))
+    cores = spark.sparkContext.defaultParallelism
+    queries = src.repartition(cores).localCheckpoint(eager=True)
+
+    parts = []
+    for t in range(n_tiles):
+        rows = src.filter(F.pmod(F.col("vec_id"), F.lit(n_tiles)) == t).collect()
+        tids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        B = np.asarray([r["emb"] for r in rows], dtype=np.float64)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((tids, Bn))
+
+        def tile_topk(batches, _bc=bc):
+            bids, bmat = _bc.value
+            for pdf in batches:
+                qids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                Q = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                sims = np.round(Qn @ bmat.T, 6)
+                sims[qids[:, None] == bids[None, :]] = -np.inf  # self
+                nk = min(k, sims.shape[1])
+                out = []
+                for i in range(len(qids)):
+                    # total-order top-k: lexsort on (id asc) then (-sim)
+                    order = np.lexsort((bids, -sims[i]))[:nk]
+                    for j in order:
+                        if np.isfinite(sims[i, j]):
+                            out.append((int(qids[i]), int(bids[j]),
+                                        float(sims[i, j])))
+                yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim"])
+
+        parts.append(queries.mapInPandas(
+            tile_topk, schema="vec_id long, neighbor_id long, sim double"))
+
+    allc = reduce(lambda x, y: x.unionAll(y), parts)
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (allc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "rank", "sim"))
