@@ -357,6 +357,46 @@ def q_embedding_neardup_lsh_pairs(spark, sf):
     return neardup_pairs_lsh(e, tau=NEARDUP_COS, n_bands=32, bits=6, seed=7)
 
 
+#: embeddings table dimensionality (fixed by TESTDATA.md's generator);
+#: the oracle-SQL generators need it without a Spark session.
+EMB_DIMS = 64
+ENTROPY_SEED = 1234
+MIXED_SEED = 4321
+
+
+def q_entropy_lsh_buckets(spark, sf):
+    """Entropy-based hash family (F4, entropy_based.hpp:72-90) over the
+    embeddings: distributed cut-off learning (exact order statistics at
+    the reference's indices — the A7 analog of its odd-even MPI sort) +
+    the uint32 hash_combine fold, ALL in JVM column arithmetic, oracle-
+    checked end-to-end by an equivalent DuckDB chain."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        entropy_buckets_df)
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return entropy_buckets_df(e, _parity_cfg(), ENTROPY_SEED,
+                              vec_col="embedding")
+
+
+def q_mixed_lsh_buckets(spark, sf):
+    """Mixed hash family (F5, mixed_hash_functions.hpp:74-92): summed
+    truncated projections, remainder-distributed cut-off indices, clamped
+    table size (nearest_neighbors.cpp:52-56). Oracle-checked like F4."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        mixed_buckets_df)
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return mixed_buckets_df(e, _parity_cfg(), MIXED_SEED, vec_col="embedding")
+
+
+def _parity_cfg():
+    """Reference CLI defaults (options.cpp:74-82): L=8 tables, k=12
+    functions, pool 32, 6 cut-off points, table size 105613."""
+    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+
+    return LshConfig()
+
+
 def q_rp_parity_buckets(spark, sf):
     """Reference-semantics random-projections bucket assignment
     (random_projections.hpp:72-85 chain) over the embeddings — the parity
@@ -604,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_pairs": q_embedding_neardup_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
+        "entropy_lsh_buckets": q_entropy_lsh_buckets,
+        "mixed_lsh_buckets": q_mixed_lsh_buckets,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "bucket_histogram": q_bucket_histogram,
@@ -682,6 +724,9 @@ _NEARDUP_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        entropy_oracle_sql, mixed_oracle_sql)
+
     return {
         "dedup_exact_clusters":
             "select doc_id, min(doc_id) over (partition by text) as cluster_id "
@@ -766,6 +811,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute_topk": _KNN_SQL,
         "embedding_neardup_pairs": _NEARDUP_SQL,
         "embedding_neardup_lsh_pairs": _NEARDUP_SQL,
+        "entropy_lsh_buckets": entropy_oracle_sql(_parity_cfg(), EMB_DIMS,
+                                                  ENTROPY_SEED),
+        "mixed_lsh_buckets": mixed_oracle_sql(_parity_cfg(), EMB_DIMS,
+                                              MIXED_SEED),
         "q1_pricing_summary": """
             select l_returnflag, l_linestatus,
               round(sum(l_quantity), 4) as sum_qty,

@@ -222,6 +222,147 @@ def random_projection_buckets(points: np.ndarray, funcs: np.ndarray,
 
 
 # --------------------------------------------------------------------------- #
+# Entropy-based hash family (F4) — parity with entropy_based.hpp:72-90,
+# cut-off learning entropy_based.cpp:56-122
+# --------------------------------------------------------------------------- #
+
+def seqdot(points: np.ndarray, coeffs: np.ndarray, init=None) -> np.ndarray:
+    """Left-fold dot products: acc_d+1 = acc_d + x_d * c_d, the exact FP
+    summation order of the reference's scalar loop (entropy_based.hpp:
+    76-80), of Spark's aggregate(zip_with(...)) fold, and of DuckDB's
+    list_reduce — so all three engines produce BIT-IDENTICAL doubles.
+    ``points``: (n, d); ``coeffs``: (m, d); returns (n, m).
+    ``init``: optional (m,) start value (the mixed family's bias)."""
+    n, d = points.shape
+    m = coeffs.shape[0]
+    acc = np.zeros((n, m), dtype=np.float64)
+    if init is not None:
+        acc += init[None, :]
+    for k in range(d):
+        acc = acc + points[:, k, None] * coeffs[None, :, k]
+    return acc
+
+
+def entropy_params(seed: int, pool_size: int, dims: int,
+                   num_bands: int, rows_per_band: int):
+    """Pool + selection for the entropy-based family.
+
+    Pool coefficients are plain N(0,1) per dim (entropy_based.cpp:41-48 —
+    note: NOT |N|, unlike random projections); bands select pool entries
+    uniformly with replacement (entropy_based.cpp:136-147). One seeded
+    PCG64 drives both draws (our deterministic stand-in for the
+    reference's debug-mode default-seeded mt19937s, SURVEY §5).
+
+    Returns (pool (pool_size, dims) float64, sel (num_bands, rows) int64).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pool = rng.standard_normal((pool_size, dims))
+    sel = rng.integers(0, pool_size, size=(num_bands, rows_per_band))
+    return pool, sel
+
+
+def entropy_cutoff_indices(n: int, num_cut_off_points: int) -> np.ndarray:
+    """0-based sorted-order indices of the learned cut-offs
+    (entropy_based.cpp:103-107): jump = n // cops; idx_c = (c+1)*jump.
+    The reference's n includes dummy padding (rank_size*comm_size); ours
+    is the real row count (dummy semantics deliberately not reproduced,
+    SURVEY §1.5)."""
+    jump = n // num_cut_off_points
+    return np.arange(1, num_cut_off_points) * jump
+
+
+def entropy_cutoffs(projections: np.ndarray, num_cut_off_points: int) -> np.ndarray:
+    """Learned cut-offs per pool function: sort each function's global
+    projections, take the order statistics at entropy_cutoff_indices.
+    ``projections``: (n, pool_size); returns (pool_size, cops-1)."""
+    idx = entropy_cutoff_indices(projections.shape[0], num_cut_off_points)
+    return np.sort(projections, axis=0)[idx, :].T
+
+
+def entropy_buckets_np(points: np.ndarray, pool: np.ndarray, sel: np.ndarray,
+                       num_cut_off_points: int, bucket_modulus: int) -> np.ndarray:
+    """Full entropy-based bucket chain, numpy oracle (lsh_hash
+    <entropy_based>::operator(), entropy_based.hpp:72-90): per selected
+    function, entropy_hash = #{cutoffs exceeded}; fold with
+    hash_combine_u32 starting from rows_per_band; mod bucket_modulus.
+    Returns (n, num_bands) int64."""
+    L, k = sel.shape
+    proj = seqdot(points, pool)                       # (n, pool_size)
+    cuts = entropy_cutoffs(proj, num_cut_off_points)  # (pool, cops-1)
+    # eh[n, L, k] — comparisons only, no float arithmetic after this point
+    psel = proj[:, sel.reshape(-1)].reshape(-1, L, k)       # (n, L, k)
+    csel = cuts[sel.reshape(-1)].reshape(L, k, -1)          # (L, k, cops-1)
+    eh = (psel[..., None] > csel[None, ...]).sum(axis=-1).astype(U32)
+    combined = np.full((points.shape[0], L), U32(k), dtype=U32)
+    for r in range(k):
+        combined = hash_combine_u32(combined, eh[:, :, r])
+    return (combined % U32(bucket_modulus)).astype(np.int64)
+
+
+# --------------------------------------------------------------------------- #
+# Mixed hash family (F5) — parity with mixed_hash_functions.hpp:74-92,
+# cut-off learning mixed_hash_functions.cpp:110-180
+# --------------------------------------------------------------------------- #
+
+def mixed_params(seed: int, pool_size: int, dims: int, w: float,
+                 num_bands: int, rows_per_band: int):
+    """Pool + selection for the mixed family: |N(0,1)| coefficients plus a
+    U[0, w) bias per pool function (mixed_hash_functions.cpp:50-60), bands
+    select with replacement (:71-80). The reference also draws one unused
+    normal per (table, function) slot (:100-104) that the hash never reads
+    (mixed_hash_functions.hpp:74-92 indexes past them) — not reproduced.
+
+    Returns (pool (pool_size, dims+1) float64, sel (L, k) int64).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pool = np.empty((pool_size, dims + 1), dtype=np.float64)
+    pool[:, :dims] = np.abs(rng.standard_normal((pool_size, dims)))
+    pool[:, dims] = rng.uniform(0.0, w, size=pool_size)
+    sel = rng.integers(0, pool_size, size=(num_bands, rows_per_band))
+    return pool, sel
+
+
+def mixed_cutoff_indices(n: int, num_cut_off_points: int) -> np.ndarray:
+    """0-based cut-off indices, mixed variant with remainder distribution
+    (mixed_hash_functions.cpp:160-166): cumulative idx += jump +
+    (cop < remainder); i.e. idx_c = (c+1)*jump + min(c+1, rem)."""
+    jump, rem = divmod(n, num_cut_off_points)
+    c = np.arange(1, num_cut_off_points)
+    return c * jump + np.minimum(c, rem)
+
+
+def mixed_values_np(points: np.ndarray, pool: np.ndarray, sel: np.ndarray,
+                    w: float) -> np.ndarray:
+    """Per-table summed quantized projection (the kernel at
+    mixed_hash_functions.cpp:129-143): value_t = Σ_j trunc((bias_j +
+    a_j·x) / w) accumulated as doubles — ints are exact in float64 at
+    these magnitudes, so the sum is order-independent. Returns (n, L)."""
+    dims = points.shape[1]
+    L, k = sel.shape
+    funcs = pool[sel.reshape(-1)]                      # (L*k, dims+1)
+    h = seqdot(points, funcs[:, :dims], init=funcs[:, dims])  # (n, L*k)
+    q = np.trunc(h / w)                                # toward zero, C++ cast
+    return q.reshape(-1, L, k).sum(axis=2)
+
+
+def mixed_buckets_np(points: np.ndarray, pool: np.ndarray, sel: np.ndarray,
+                     w: float, num_cut_off_points: int,
+                     bucket_modulus: int) -> np.ndarray:
+    """Full mixed-family chain, numpy oracle: learned per-table cut-offs
+    over the summed values, combined_hash = #{cutoffs exceeded} (NO
+    hash_combine — mixed_hash_functions.hpp:86-91), modulo the CLAMPED
+    table size min(bucket_modulus, num_cut_off_points) — the reference
+    clamps because max value is cops-1 (nearest_neighbors.cpp:52-56).
+    Returns (n, L) int64."""
+    vals = mixed_values_np(points, pool, sel, w)       # (n, L)
+    idx = mixed_cutoff_indices(points.shape[0], num_cut_off_points)
+    cuts = np.sort(vals, axis=0)[idx, :].T             # (L, cops-1)
+    combined = (vals[:, :, None] > cuts[None, :, :]).sum(axis=-1)
+    clamp = min(bucket_modulus, num_cut_off_points)
+    return (combined % clamp).astype(np.int64)
+
+
+# --------------------------------------------------------------------------- #
 # SimHash over feature streams
 # --------------------------------------------------------------------------- #
 

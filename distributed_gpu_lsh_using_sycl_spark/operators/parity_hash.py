@@ -1,0 +1,258 @@
+"""Reference-parity hash families as DISTRIBUTED DataFrame plans: the
+entropy-based (F4) and mixed (F5) families, completing the reference's
+runtime-dispatched trio (hash_function_types.hpp:22-29; random
+projections live in functions/hashing.py + the rp_parity query).
+
+Unlike the random-projections family (stateless — pandas UDF suffices),
+these two LEARN data-dependent cut-off points via a distributed sort +
+order-statistic pick (entropy_based.cpp:56-122, mixed_hash_functions.cpp:
+110-180 — the reference's odd-even MPI sort, our A7 analog as a
+window-ranked shuffle). Everything here is JVM-side built-ins:
+
+- projections: sequential-fold dot products (``aggregate(zip_with(..))``)
+  whose FP summation order matches the reference's scalar loop, the numpy
+  oracle's fold (hashing.seqdot) and DuckDB's list_reduce — bit-identical
+  doubles on all three engines;
+- hash_combine: the uint32 boost mix reproduced in masked int64 column
+  arithmetic (hash_combine.hpp:23-32 — wrap == mask because every
+  intermediate fits in 63 bits);
+- cut-offs: exact distributed order statistics at the reference's indices.
+
+Each function has a DuckDB-SQL generator so the driver's oracle gate can
+hash-compare the full chain (the pool/selection literals are re-derived
+from the same seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
+
+_MASK = 0xFFFFFFFF
+_C_ADD = 0x9E3779B9
+_C_M1 = 0x21F0AAAD
+_C_M2 = 0x735A2D97
+
+
+def _hc_col(acc, x):
+    """uint32 hash_combine (hash_combine.hpp:23-32) on bigint Columns:
+    mask after every add/multiply == uint32 wrap (intermediates < 2^63)."""
+    s1 = (acc + F.lit(_C_ADD) + x).bitwiseAND(F.lit(_MASK))
+    s2 = s1.bitwiseXOR(F.shiftright(s1, 16))
+    s3 = (s2 * F.lit(_C_M1)).bitwiseAND(F.lit(_MASK))
+    s4 = s3.bitwiseXOR(F.shiftright(s3, 15))
+    s5 = (s4 * F.lit(_C_M2)).bitwiseAND(F.lit(_MASK))
+    return s5.bitwiseXOR(F.shiftright(s5, 15))
+
+
+def _hc_sql(acc: str, x: str) -> str:
+    """The same mix as DuckDB SQL (xor() function, & >> operators)."""
+    s1 = f"(({acc} + {_C_ADD} + {x}) & {_MASK})"
+    s2 = f"xor({s1}, {s1} >> 16)"
+    s3 = f"(({s2} * {_C_M1}) & {_MASK})"
+    s4 = f"xor({s3}, {s3} >> 15)"
+    s5 = f"(({s4} * {_C_M2}) & {_MASK})"
+    return f"xor({s5}, {s5} >> 15)"
+
+
+def _fold_dot(vec_col, coeff_col, init):
+    """Sequential-fold dot product column (see module docstring)."""
+    return F.aggregate(F.zip_with(vec_col, coeff_col, lambda a, b: a * b),
+                       init, lambda acc, x: acc + x)
+
+
+def _arr_lit(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+# --------------------------------------------------------------------------- #
+# F4: entropy-based
+# --------------------------------------------------------------------------- #
+
+def entropy_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
+                       id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """(id, vec) -> (vec_id, band_id, bucket) under the entropy-based
+    family. Stages: broadcast pool crossJoin -> fold projections ->
+    window-ranked order statistics (cut-offs) -> entropy hash counts ->
+    hash_combine fold -> mod."""
+    spark = e.sparkSession
+    src = e.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    dims = len(src.select("v").head()[0])
+    pool, sel = H.entropy_params(seed, cfg.signature_pool_size, dims,
+                                 cfg.num_bands, cfg.rows_per_band)
+    cops = cfg.num_cut_off_points
+    pool_df = spark.createDataFrame(
+        [(p, [float(x) for x in pool[p]]) for p in range(pool.shape[0])],
+        "p int, coeffs array<double>")
+    sel_df = spark.createDataFrame(
+        [(t, j, int(sel[t, j])) for t in range(sel.shape[0])
+         for j in range(sel.shape[1])],
+        "t int, j int, p int")
+
+    proj = (src.crossJoin(F.broadcast(pool_df))
+            .select("vec_id", "p",
+                    _fold_dot(F.col("v"), F.col("coeffs"), F.lit(0.0)).alias("proj"))
+            ).localCheckpoint(eager=True)  # reused: cut-off sort + eh stage
+
+    # distributed exact order statistics at idx_c = (c+1) * (n // cops)
+    # (entropy_based.cpp:103-107); rn is 1-based so the filter is on rn-1.
+    wp = W.partitionBy("p").orderBy("proj")
+    ranked = proj.select(
+        "p", "proj", F.row_number().over(wp).alias("rn"),
+        F.count("*").over(W.partitionBy("p")).alias("n"))
+    jump = (F.col("n") / F.lit(cops)).cast("long")
+    cut = ranked.filter(
+        ((F.col("rn") - 1) % jump == 0)
+        & (((F.col("rn") - 1) / jump).cast("long").between(1, cops - 1)))
+    # ascending cut values ARE cop order — one sorted array per function
+    cuts = cut.groupBy("p").agg(F.array_sort(F.collect_list("proj")).alias("cuts"))
+
+    ehs = (proj.join(F.broadcast(sel_df), "p")
+           .join(F.broadcast(cuts), "p")
+           .select("vec_id", "t", "j",
+                   F.size(F.filter(F.col("cuts"),
+                                   lambda c: F.col("proj") > c))
+                   .cast("long").alias("eh")))
+    folded = (ehs.groupBy("vec_id", "t")
+              .agg(F.transform(F.array_sort(F.collect_list(F.struct("j", "eh"))),
+                               lambda s: s["eh"]).alias("ehl")))
+    k = cfg.rows_per_band
+    bucket = F.pmod(
+        F.aggregate(F.col("ehl"), F.lit(k).cast("long"), _hc_col),
+        F.lit(cfg.bucket_modulus))
+    return folded.select("vec_id", F.col("t").cast("int").alias("band_id"),
+                         bucket.alias("bucket"))
+
+
+def entropy_oracle_sql(cfg: LshConfig, dims: int, seed: int,
+                       table: str = "embeddings", id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """DuckDB SQL computing the identical chain (pool/selection literals
+    re-derived from the same seed)."""
+    pool, sel = H.entropy_params(seed, cfg.signature_pool_size, dims,
+                                 cfg.num_bands, cfg.rows_per_band)
+    cops, k = cfg.num_cut_off_points, cfg.rows_per_band
+    pool_rows = ", ".join(f"({p}, {_arr_lit(pool[p])})" for p in range(pool.shape[0]))
+    sel_rows = ", ".join(f"({t}, {j}, {int(sel[t, j])})"
+                         for t in range(sel.shape[0]) for j in range(sel.shape[1]))
+    return f"""
+with pool(p, coeffs) as (values {pool_rows}),
+sel(t, j, p) as (values {sel_rows}),
+proj as (
+  select e.{id_col} as vec_id, pool.p,
+    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dims + 1}),
+      i -> e.{vec_col}[i]::DOUBLE * pool.coeffs[i])), (acc, x) -> acc + x) as proj
+  from {table} e cross join pool),
+ranked as (select p, proj, row_number() over (partition by p order by proj) as rn,
+                  count(*) over (partition by p) as n from proj),
+cuts as (select p, list(proj order by proj) as cuts from ranked
+         where (rn - 1) % (n // {cops}) = 0
+           and (rn - 1) // (n // {cops}) between 1 and {cops - 1}
+         group by p),
+ehs as (select pr.vec_id, s.t, s.j,
+          len(list_filter(c.cuts, x -> pr.proj > x))::BIGINT as eh
+        from proj pr join sel s on pr.p = s.p join cuts c on c.p = s.p),
+folded as (select vec_id, t, list(eh order by j) as ehl from ehs group by vec_id, t)
+select vec_id, t::INTEGER as band_id,
+  list_reduce(list_prepend({k}::BIGINT, ehl),
+              (acc, x) -> {_hc_sql('acc', 'x')}) % {cfg.bucket_modulus} as bucket
+from folded"""
+
+
+# --------------------------------------------------------------------------- #
+# F5: mixed
+# --------------------------------------------------------------------------- #
+
+def mixed_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
+                     id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """(id, vec) -> (vec_id, band_id, bucket) under the mixed family:
+    per-table sum of truncated projections, learned per-table cut-offs
+    (remainder-distributed indices), count-of-exceeded as the hash, modulo
+    the CLAMPED table size (nearest_neighbors.cpp:52-56)."""
+    spark = e.sparkSession
+    src = e.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    dims = len(src.select("v").head()[0])
+    pool, sel = H.mixed_params(seed, cfg.signature_pool_size, dims, cfg.w,
+                               cfg.num_bands, cfg.rows_per_band)
+    cops = cfg.num_cut_off_points
+    funcs_df = spark.createDataFrame(
+        [(t, j, [float(x) for x in pool[sel[t, j], :dims]],
+          float(pool[sel[t, j], dims]))
+         for t in range(sel.shape[0]) for j in range(sel.shape[1])],
+        "t int, j int, coeffs array<double>, bias double")
+
+    # value_t = sum_j trunc((bias + a.x) / w): doubles fold like the
+    # reference's scalar loop; the truncated ints sum EXACTLY in int64
+    q = (src.crossJoin(F.broadcast(funcs_df))
+         .select("vec_id", "t",
+                 (_fold_dot(F.col("v"), F.col("coeffs"), F.col("bias"))
+                  / F.lit(float(cfg.w))).cast("long").alias("q")))
+    vals = (q.groupBy("vec_id", "t").agg(F.sum("q").alias("value"))
+            ).localCheckpoint(eager=True)  # reused: cut-off sort + compare
+
+    # cut-off indices with remainder distribution (mixed_hash_functions.
+    # cpp:160-166): idx_c = c*jump + min(c, rem), c in 1..cops-1; a rank
+    # matches iff one of the two congruence branches hits (c <= rem vs >).
+    wt = W.partitionBy("t").orderBy("value", "vec_id")
+    ranked = vals.select(
+        "t", "value", (F.row_number().over(wt) - 1).alias("i"),
+        F.count("*").over(W.partitionBy("t")).alias("n"))
+    jump = (F.col("n") / F.lit(cops)).cast("long")
+    rem = F.col("n") % F.lit(cops)
+    c1 = (F.col("i") / (jump + 1)).cast("long")
+    b1 = ((F.col("i") % (jump + 1) == 0)
+          & (c1 >= 1) & (c1 <= F.least(rem, F.lit(cops - 1))))
+    c2 = ((F.col("i") - rem) / jump).cast("long")
+    b2 = (((F.col("i") - rem) % jump == 0)
+          & (c2 > rem) & (c2 <= cops - 1))
+    cuts = (ranked.filter(b1 | b2)
+            .groupBy("t").agg(F.array_sort(F.collect_list("value")).alias("cuts")))
+
+    clamp = min(cfg.bucket_modulus, cops)
+    return (vals.join(F.broadcast(cuts), "t")
+            .select("vec_id", F.col("t").cast("int").alias("band_id"),
+                    F.pmod(F.size(F.filter(F.col("cuts"),
+                                           lambda c: F.col("value") > c))
+                           .cast("long"), F.lit(clamp)).alias("bucket")))
+
+
+def mixed_oracle_sql(cfg: LshConfig, dims: int, seed: int,
+                     table: str = "embeddings", id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    pool, sel = H.mixed_params(seed, cfg.signature_pool_size, dims, cfg.w,
+                               cfg.num_bands, cfg.rows_per_band)
+    cops = cfg.num_cut_off_points
+    clamp = min(cfg.bucket_modulus, cops)
+    func_rows = ", ".join(
+        f"({t}, {j}, {_arr_lit(pool[sel[t, j], :dims])}, "
+        f"{repr(float(pool[sel[t, j], dims]))}::DOUBLE)"
+        for t in range(sel.shape[0]) for j in range(sel.shape[1]))
+    return f"""
+with funcs(t, j, coeffs, bias) as (values {func_rows}),
+q as (
+  select e.{id_col} as vec_id, funcs.t,
+    trunc(list_reduce(list_prepend(funcs.bias, list_transform(range(1, {dims + 1}),
+      i -> e.{vec_col}[i]::DOUBLE * funcs.coeffs[i])), (acc, x) -> acc + x)
+      / ({repr(float(cfg.w))}::DOUBLE))::BIGINT as q
+  from {table} e cross join funcs),
+vals as (select vec_id, t, sum(q)::BIGINT as value from q group by vec_id, t),
+ranked as (select t, value, row_number() over
+             (partition by t order by value, vec_id) - 1 as i,
+           count(*) over (partition by t) as n from vals),
+cuts as (select t, list(value order by value) as cuts from ranked
+         where (i % (n // {cops} + 1) = 0
+                and i // (n // {cops} + 1) between 1
+                    and least(n % {cops}, {cops - 1}))
+            or ((i - n % {cops}) % (n // {cops}) = 0
+                and (i - n % {cops}) // (n // {cops}) > n % {cops}
+                and (i - n % {cops}) // (n // {cops}) <= {cops - 1})
+         group by t)
+select v.vec_id, v.t::INTEGER as band_id,
+  (len(list_filter(c.cuts, x -> v.value > x))::BIGINT) % {clamp} as bucket
+from vals v join cuts c on v.t = c.t"""

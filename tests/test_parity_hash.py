@@ -1,0 +1,100 @@
+"""Entropy-based (F4) and mixed (F5) hash families: the distributed Spark
+chain must reproduce the seeded numpy reference-semantics oracle
+BIT-EXACTLY (bucket-identical assignments — the same bar as the
+random-projections parity test), and the uint32 hash_combine emulation in
+masked int64 column arithmetic must equal the numpy uint32 kernel."""
+
+import numpy as np
+import pytest
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
+
+
+@pytest.fixture(scope="module")
+def pts():
+    rng = np.random.Generator(np.random.PCG64(99))
+    # 150 points, 16 dims — enough for non-degenerate order statistics
+    return rng.standard_normal((150, 16))
+
+
+def _df(spark, pts):
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def _collect_buckets(df):
+    out = {}
+    for r in df.collect():
+        out[(r["vec_id"], r["band_id"])] = r["bucket"]
+    return out
+
+
+def test_entropy_spark_equals_numpy(spark, pts):
+    cfg = LshConfig(num_bands=4, rows_per_band=5, signature_pool_size=8,
+                    num_cut_off_points=6)
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        entropy_buckets_df)
+
+    pool, sel = H.entropy_params(7, cfg.signature_pool_size, pts.shape[1],
+                                 cfg.num_bands, cfg.rows_per_band)
+    want = H.entropy_buckets_np(pts, pool, sel, cfg.num_cut_off_points,
+                                cfg.bucket_modulus)
+    got = _collect_buckets(entropy_buckets_df(_df(spark, pts), cfg, 7))
+    assert len(got) == len(pts) * cfg.num_bands
+    for (i, t), b in got.items():
+        assert b == want[i, t], (i, t, b, want[i, t])
+
+
+def test_mixed_spark_equals_numpy(spark, pts):
+    cfg = LshConfig(num_bands=4, rows_per_band=5, signature_pool_size=8,
+                    num_cut_off_points=6, w=0.7)
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        mixed_buckets_df)
+
+    pool, sel = H.mixed_params(11, cfg.signature_pool_size, pts.shape[1],
+                               cfg.w, cfg.num_bands, cfg.rows_per_band)
+    want = H.mixed_buckets_np(pts, pool, sel, cfg.w, cfg.num_cut_off_points,
+                              cfg.bucket_modulus)
+    got = _collect_buckets(mixed_buckets_df(_df(spark, pts), cfg, 11))
+    assert len(got) == len(pts) * cfg.num_bands
+    for (i, t), b in got.items():
+        assert b == want[i, t], (i, t, b, want[i, t])
+    # the clamp: max hash value is cops-1, so every bucket < cops
+    assert max(got.values()) < cfg.num_cut_off_points
+
+
+def test_mixed_cutoff_indices_remainder():
+    """Remainder-distributed cumulative indices, mixed_hash_functions.cpp:
+    160-166: idx += jump + (cop < rem)."""
+    n, cops = 20, 6  # jump 3, rem 2
+    idx = []
+    cur = 0
+    jump, rem = divmod(n, cops)
+    for cop in range(cops - 1):
+        cur += jump + (1 if cop < rem else 0)
+        idx.append(cur)
+    assert H.mixed_cutoff_indices(n, cops).tolist() == idx
+    # entropy variant: plain (c+1)*jump
+    assert H.entropy_cutoff_indices(n, cops).tolist() == [
+        (c + 1) * (n // cops) for c in range(cops - 1)]
+
+
+def test_hash_combine_masked_bigint_matches_uint32(spark):
+    """The masked int64 column emulation == numpy uint32 hash_combine on
+    adversarial values (top-bit set, wrap-inducing)."""
+    import pyspark.sql.functions as F
+
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import _hc_col
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    seeds = rng.integers(0, 2**32, size=50, dtype=np.uint64)
+    vals = rng.integers(0, 2**32, size=50, dtype=np.uint64)
+    want = H.hash_combine_u32(seeds.astype(np.uint32), vals.astype(np.uint32))
+    df = spark.createDataFrame(
+        [(int(s), int(v)) for s, v in zip(seeds, vals)], "s long, v long")
+    got = [r["h"] for r in
+           df.select(_hc_col(F.col("s"), F.col("v")).alias("h"))
+           .orderBy("s", "v").collect()]
+    order = np.lexsort((vals, seeds))
+    assert got == [int(want[i]) for i in order]
