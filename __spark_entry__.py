@@ -206,6 +206,73 @@ def q_doc_simhash_pairs(spark, sf):
 
 
 # --------------------------------------------------------------------------- #
+# images: multimodal dedup family (driver-visible)
+# --------------------------------------------------------------------------- #
+
+_IMG_FIXTURE_N = 2000
+_IMG_FIXTURE_SEED = 42
+
+
+def _image_fixture(spark) -> DataFrame:
+    """Deterministic image+caption fixture written once to a stable
+    parquet (the north-rule input shape: image_id, bytes, w, h, fmt,
+    caption, phash). Pure function of (seed, idx) — identical content for
+    any partitioning — so the driver sees stable rows across runs. Size is
+    fixed (independent of sf_dir): the testdata has no binary image
+    column, and determinism of the recorded row count matters more than
+    scaling here. Recall vs planted truth is asserted in
+    tests/test_e2e_dedup.py."""
+    import os as _os
+
+    from distributed_gpu_lsh_using_sycl_spark.sources.fixture import (
+        make_fixture_spark)
+
+    path = f"/tmp/dlsh_driver_fixture/images_n{_IMG_FIXTURE_N}_s{_IMG_FIXTURE_SEED}.parquet"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        make_fixture_spark(spark, _IMG_FIXTURE_N, seed=_IMG_FIXTURE_SEED) \
+            .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _image_hash_pairs(spark, hash_col: str) -> DataFrame:
+    """Shared body: signature stage (decode + block features + simhash,
+    vectorized) -> bit-band blocking -> exact popcount verify."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        hash_band_pairs)
+    from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
+        compute_signatures)
+
+    cfg = _dedup_cfg()
+    sigs = (compute_signatures(_image_fixture(spark), cfg, with_image=True)
+            .select("image_id", "simhash", "phash")
+            .localCheckpoint(eager=True))
+    cands = hash_band_pairs(sigs, hash_col, cfg, source=hash_col)
+    h = sigs.select("image_id", F.col(hash_col).alias("h"))
+    withs = (cands
+             .join(h.select(F.col("image_id").alias("a"), F.col("h").alias("ha")), "a")
+             .join(h.select(F.col("image_id").alias("b"), F.col("h").alias("hb")), "b"))
+    return (withs
+            .withColumn("hamming",
+                        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"))
+            .filter(F.col("hamming") <= cfg.hamming_threshold)
+            .select("a", "b", "hamming"))
+
+
+def q_image_simhash_pairs(spark, sf):
+    """Image near-dup pairs via decoded-pixel SimHash (multimodal path:
+    binary decode -> block features -> position-salted simhash, all
+    Arrow-batched). Rows-only (binary fixture is outside the DuckDB
+    views); recall >= 0.99 vs planted truth in tests/test_e2e_dedup.py."""
+    return _image_hash_pairs(spark, "simhash")
+
+
+def q_image_phash_pairs(spark, sf):
+    """Image near-dup pairs via the stored perceptual hash (phash) —
+    banded blocking + exact Hamming verify. Rows-only."""
+    return _image_hash_pairs(spark, "phash")
+
+
+# --------------------------------------------------------------------------- #
 # documents: text analysis family
 # --------------------------------------------------------------------------- #
 
@@ -638,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "cc_clusters": q_cc_clusters,
+        "image_simhash_pairs": q_image_simhash_pairs,
+        "image_phash_pairs": q_image_phash_pairs,
         "knn_brute_topk": q_knn_brute_topk,
         "knn_block_matmul_topk": q_knn_block_matmul_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,

@@ -10,13 +10,17 @@ Two parts:
    plus representative analytic operators.
 2. Strong-scaling evidence (north rule; the sandbox stand-in for N vs 4N
    executors): the signature+banding stage over an identical synthetic
-   image fixture at local[8] and local[32] in SEPARATE JVMs; reports
-   images/sec at both and efficiency = (ips_32 / ips_8) / 4. Mirrors the
+   image fixture at local[8] and local[32] in SEPARATE taskset-pinned
+   JVMs, run as INTERLEAVED rounds (8, 32, 8, 32) within one window so a
+   noisy-neighbor burst cannot land entirely on one side; reports
+   images/sec per round, the steady-state (min-seconds) throughput per
+   parallelism, paired per-window efficiencies, and the headline
+   efficiency = (ips_32 / ips_8) / 4 from the steady states. Mirrors the
    reference's strong-scaling benchmark (README.md:27-28: speedup 7.6 on
-   8 GPUs). Results also written to BENCH/BASELINE.md.
+   8 GPUs ≈ 0.95 efficiency). Results also written to BENCH/RUN_LATEST.md.
 
 Worker mode (internal): bench.py --stage-worker --cores N --fixture F
-prints a single JSON line with the stage timing.
+--passes P prints a single JSON line with the stage timing.
 """
 
 from __future__ import annotations
@@ -54,7 +58,7 @@ def ensure_fixture(cores: int) -> None:
     spark.stop()
 
 
-def stage_worker(cores: int, fixture: str) -> dict:
+def stage_worker(cores: int, fixture: str, passes: int = 4) -> dict:
     """Signature+banding stage timing at a given parallelism (own JVM)."""
     from pyspark.sql import functions as F
 
@@ -84,17 +88,17 @@ def stage_worker(cores: int, fixture: str) -> dict:
     # Steady-state protocol: python-worker fork + imports + scratch
     # first-touch are per-executor-LIFETIME costs (cluster executors are
     # long-lived), and the sandbox host has multi-second noisy-neighbor
-    # bursts — so run several passes and report the min (the unloaded,
-    # warm measurement). Observed warm-up depth here is ~2 full passes.
-    passes = [one_pass() for _ in range(7)]
-    secs = min(passes[1:])
+    # bursts — so run a warm-up pass, then `passes` measured passes, and
+    # report the min (the unloaded, warm measurement).
+    all_passes = [one_pass() for _ in range(passes + 2)]
+    secs = min(all_passes[2:])
     spark.stop()
     return {"cores": cores, "n_images": n, "secs": round(secs, 2),
             "images_per_sec": round(n / secs, 1),
-            "passes": [round(p, 1) for p in passes]}
+            "passes": [round(p, 1) for p in all_passes]}
 
 
-def _run_worker_subprocess(cores: int) -> dict:
+def _run_worker_subprocess(cores: int, passes: int = 4) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO)
     # PIN the whole process tree (JVM + python workers) to `cores` CPUs:
     # un-pinned, a local[8] JVM's GC/shuffle/Arrow threads and its python
@@ -103,9 +107,35 @@ def _run_worker_subprocess(cores: int) -> dict:
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}",
          sys.executable, os.path.abspath(__file__), "--stage-worker",
-         "--cores", str(cores), "--fixture", FIXTURE],
+         "--cores", str(cores), "--fixture", FIXTURE,
+         "--passes", str(passes)],
         capture_output=True, text=True, env=env, check=True, timeout=1800)
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling() -> dict:
+    """Interleaved A/B rounds: 8, 32, 8, 32 — each its own pinned JVM.
+
+    The headline efficiency uses the per-parallelism STEADY STATE (min
+    seconds across both rounds, warm passes only); per-window paired
+    efficiencies are reported alongside so the number is auditable — a
+    credible ratio must come from measurements taken inside one window,
+    not from one cold and one warm run."""
+    order = (8, 32, 8, 32)
+    rounds = [_run_worker_subprocess(c) for c in order]
+    best: dict[int, dict] = {}
+    for r in rounds:
+        c = r["cores"]
+        if c not in best or r["secs"] < best[c]["secs"]:
+            best[c] = r
+    pair_effs = []
+    for i in range(0, len(order) - 1, 2):
+        r8, r32 = rounds[i], rounds[i + 1]
+        pair_effs.append(round((r32["images_per_sec"] / r8["images_per_sec"]) / 4.0, 3))
+    eff = (best[32]["images_per_sec"] / best[8]["images_per_sec"]) / 4.0
+    return {"n_images": rounds[0]["n_images"], "order": list(order),
+            "rounds": rounds, "w8": best[8], "w32": best[32],
+            "paired_efficiencies": pair_effs, "efficiency": round(eff, 3)}
 
 
 def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
@@ -113,8 +143,10 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
 
     spark = _spark(cores)
     picks = ["dedup_minhash_lsh_pairs", "dedup_substring_pairs", "lcs_window_pairs",
-             "doc_simhash_pairs", "lang_id", "token_counts", "knn_block_matmul_topk",
-             "ann_lsh_topk", "q1_pricing_summary", "revenue_by_nation",
+             "doc_simhash_pairs", "cc_clusters", "lang_id", "token_counts",
+             "knn_block_matmul_topk", "ann_lsh_topk", "embedding_neardup_lsh_pairs",
+             "entropy_lsh_buckets", "mixed_lsh_buckets", "image_phash_pairs",
+             "q1_pricing_summary", "revenue_by_nation",
              "topk_per_group", "sessionization", "windowed_events"]
     qs = E.queries()
     # Warm the python worker pool THROUGH the real UDF path: workers are
@@ -169,10 +201,20 @@ def write_bench_md(scaling: dict, times: dict, sf_dir: str) -> None:
         "",
         "## Signature+banding stage (the north-rule scaling criterion)",
         "",
-        "| parallelism | wall (s) | images/sec |",
-        "|---|---|---|",
-        f"| local[8]  | {scaling['w8']['secs']} | {scaling['w8']['images_per_sec']} |",
-        f"| local[32] | {scaling['w32']['secs']} | {scaling['w32']['images_per_sec']} |",
+        "Protocol: interleaved pinned-JVM rounds (8, 32, 8, 32 cores) in one",
+        "window; per round, 2 warm-up + 4 measured passes, min reported.",
+        "",
+        "| round | parallelism | wall (s) | images/sec | passes (s) |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {i} | local[{r['cores']}] | {r['secs']} | {r['images_per_sec']} "
+        f"| {r['passes']} |"
+        for i, r in enumerate(scaling["rounds"])
+    ] + [
+        "",
+        f"Steady state: local[8] {scaling['w8']['images_per_sec']} img/s, "
+        f"local[32] {scaling['w32']['images_per_sec']} img/s; "
+        f"paired per-window efficiencies {scaling['paired_efficiencies']}.",
         "",
         f"**Scaling efficiency (N→4N cores) = (ips_32 / ips_8) / 4 = "
         f"{scaling['efficiency']:.3f}** (target ≥ 0.8; reference's own "
@@ -192,12 +234,13 @@ def main() -> None:
     ap.add_argument("--stage-worker", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--fixture", default=FIXTURE)
+    ap.add_argument("--passes", type=int, default=4)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--scaling-only", action="store_true")
     args = ap.parse_args()
 
     if args.stage_worker:
-        print(json.dumps(stage_worker(args.cores, args.fixture)))
+        print(json.dumps(stage_worker(args.cores, args.fixture, args.passes)))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -208,11 +251,7 @@ def main() -> None:
     scaling = None
     if not args.skip_scaling:
         ensure_fixture(cpus)
-        w8 = _run_worker_subprocess(8)
-        w32 = _run_worker_subprocess(32)
-        eff = (w32["images_per_sec"] / w8["images_per_sec"]) / 4.0
-        scaling = {"n_images": w8["n_images"], "w8": w8, "w32": w32,
-                   "efficiency": round(eff, 3)}
+        scaling = run_scaling()
         write_bench_md(scaling, times, sf_dir)
 
     total = round(sum(times.values()), 2)

@@ -162,10 +162,13 @@ def compute_signatures(images: DataFrame, cfg: LshConfig,
     # Tiny inputs (one small parquet file) arrive as a single partition,
     # which would serialize the whole UDF chain onto one core. Widen ONLY
     # in that case — a real corpus already has >= parallelism splits and
-    # must not pay a full (bytes+caption) shuffle here.
-    target = images.sparkSession.sparkContext.defaultParallelism
-    if images.rdd.getNumPartitions() < target:
-        images = images.repartition(target)
+    # must not pay a full (bytes+caption) shuffle here. Streaming inputs
+    # can't be asked for partition counts (and micro-batch sizing is the
+    # source's job), so they pass through untouched.
+    if not images.isStreaming:
+        target = images.sparkSession.sparkContext.defaultParallelism
+        if images.rdd.getNumPartitions() < target:
+            images = images.repartition(target)
     minhash_udf = make_minhash_udf(cfg)
     out = (
         images
