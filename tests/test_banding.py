@@ -56,23 +56,26 @@ def test_bucket_cap_downsamples_degenerate_bucket(spark):
 
 def test_hash_band_pairs_guarantee(spark):
     """hamming <= hamming_threshold ⇒ pair is surfaced (pigeonhole with
-    threshold+1 bit-bands partitioning all 64 bits), including pairs AT
-    the threshold; a pair differing in every band is missed."""
+    threshold+combine bit-bands partitioning all 64 bits), including
+    pairs AT the threshold; a pair with at most one clean band is missed
+    under combine=2 (no clean band-pair exists)."""
     from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
         _band_widths, hash_band_pairs)
 
-    cfg = LshConfig()  # hamming_threshold = 8 -> 9 bands
-    widths = _band_widths(cfg.hamming_threshold + 1)
+    cfg = LshConfig()  # hamming_threshold = 8; combine=2 -> 10 bands
+    widths = _band_widths(cfg.hamming_threshold + 2)
     offs = [sum(widths[:i]) for i in range(len(widths))]
     base = 0x0123456789ABCDEF
     near = base ^ 0b1011  # hamming 3, one band
-    # hamming exactly 8 = one bit in each of the FIRST 8 bands; 9th shared
+    # hamming exactly 8 = one bit in each of the FIRST 8 bands; the two
+    # remaining clean bands form the guaranteed shared band-pair
     at_threshold = base
     for o in offs[:8]:
         at_threshold ^= 1 << o
-    # one bit in EVERY band (hamming 9 > threshold): guaranteed miss
+    # one bit in 9 of 10 bands (hamming 9 > threshold): at most one clean
+    # band -> no clean pair -> guaranteed miss
     far = base
-    for o in offs:
+    for o in offs[:9]:
         far ^= 1 << o
     df = spark.createDataFrame(
         [("a", base), ("b", near), ("c", far), ("d", at_threshold)],
@@ -82,8 +85,14 @@ def test_hash_band_pairs_guarantee(spark):
     pairs = {(r["a"], r["b"]) for r in
              hash_band_pairs(df, "simhash", cfg, "simhash").select("a", "b").collect()}
     assert ("a", "b") in pairs
-    assert ("a", "d") in pairs  # the boundary case the 8-band split missed
-    assert ("a", "c") not in pairs  # every band differs by construction
+    assert ("a", "d") in pairs  # the boundary case a t-band split would miss
+    assert ("a", "c") not in pairs
+
+    # combine=1 (classic single-band keys) keeps the same boundary guarantee
+    pairs1 = {(r["a"], r["b"]) for r in
+              hash_band_pairs(df, "simhash", cfg, "simhash", combine=1)
+              .select("a", "b").collect()}
+    assert ("a", "d") in pairs1
 
 
 def test_downsample_dropped_accounting(spark):
