@@ -400,14 +400,18 @@ def q_embedding_neardup_pairs(spark, sf):
 
 def q_ann_lsh_topk(spark, sf, k: int = 5):
     """Multi-table (L=8, OR-construction like the reference's L-table
-    probe) sign-bit LSH ANN with salted bucket joins and exact re-rank.
-    Rows-only check (approximation has no SQL oracle); recall vs the brute
-    top-k is asserted ≥ 0.9 on clustered data in tests/test_embedding.py."""
+    probe, hash_tables.hpp:566-578) sign-bit LSH ANN with salted bucket
+    joins and exact cosine re-rank. FULLY oracle-checked: the DuckDB SQL
+    (parity_hash.ann_oracle_sql) recomputes the same seeded hyperplanes,
+    the same sequential-fold projections (bit-identical doubles) and the
+    same candidate-union re-rank, so even the approximation's MISSES must
+    agree. Recall vs brute top-k additionally asserted ≥ 0.9 in
+    tests/test_embedding.py."""
     from distributed_gpu_lsh_using_sycl_spark.operators.embedding import ann_topk_lsh
 
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return ann_topk_lsh(e, k=k, n_tables=8, bits=6, seed=11)
+    return ann_topk_lsh(e, k=k, n_tables=8, bits=6, seed=11, jvm_fold=True)
 
 
 def q_embedding_neardup_lsh_pairs(spark, sf):
@@ -467,33 +471,17 @@ def _parity_cfg():
 def q_rp_parity_buckets(spark, sf):
     """Reference-semantics random-projections bucket assignment
     (random_projections.hpp:72-85 chain) over the embeddings — the parity
-    operator; rows-only (hash chain not SQL-expressible)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    operator, as a pure-JVM plan (parity_hash.rp_buckets_df) whose
+    sequential-fold projections are bit-identical to the driver's DuckDB
+    oracle (rp_oracle_sql). The vectorized NumPy twin
+    (hashing.random_projection_buckets) stays the pytest arbiter for the
+    reference's exact einsum-order chain."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        rp_buckets_df)
 
-    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
-    from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
-
-    cfg = LshConfig()
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    dims = len(e.select("v").head()[0])
-    funcs = H.random_projection_pool(cfg.seed, cfg.num_bands, cfg.rows_per_band,
-                                     cfg.signature_pool_size, dims, cfg.w)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def rp_udf(vs):
-        pts = np.asarray(vs.tolist(), dtype=np.float64)
-        # reference uses [0,1]-scaled inputs (generate_data.py:44-46); use a
-        # FIXED affine map (batch-independent → parallelism-invariant) that
-        # keeps h >= 0 for unit-ish embeddings
-        pts = np.clip((pts + 1.0) * 0.5, 0.0, 1.0)
-        bk = H.random_projection_buckets(pts, funcs, cfg.w, cfg.bucket_modulus)
-        return pd.Series(bk.tolist())
-
-    return (e.withColumn("buckets", rp_udf("v"))
-            .select("vec_id", F.posexplode("buckets").alias("band_id", "bucket")))
+    return rp_buckets_df(e, _parity_cfg())
 
 
 def q_cc_clusters(spark, sf):
@@ -794,7 +782,7 @@ _NEARDUP_SQL = f"""
 
 def oracle_sql() -> dict[str, str]:
     from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
-        entropy_oracle_sql, mixed_oracle_sql)
+        ann_oracle_sql, entropy_oracle_sql, mixed_oracle_sql, rp_oracle_sql)
 
     return {
         "dedup_exact_clusters":
@@ -884,6 +872,9 @@ def oracle_sql() -> dict[str, str]:
                                                   ENTROPY_SEED),
         "mixed_lsh_buckets": mixed_oracle_sql(_parity_cfg(), EMB_DIMS,
                                               MIXED_SEED),
+        "rp_parity_buckets": rp_oracle_sql(_parity_cfg(), EMB_DIMS),
+        "ann_lsh_topk": ann_oracle_sql(n_tables=8, bits=6, seed=11,
+                                       dims=EMB_DIMS, k=5),
         "q1_pricing_summary": """
             select l_returnflag, l_linestatus,
               round(sum(l_quantity), 4) as sum_qty,

@@ -110,7 +110,8 @@ def neardup_pairs_lsh(e: DataFrame, tau: float, cfg: LshConfig | None = None,
 
 def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
                  seed: int = 11, cfg: LshConfig | None = None,
-                 id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "v",
+                 jvm_fold: bool = False) -> DataFrame:
     """Approximate cosine top-k: L sign-bit hash tables (OR-construction,
     the reference's L-table probe, hash_tables.hpp:566-578), salted bucket
     join, exact re-rank of the candidate union.
@@ -128,7 +129,15 @@ def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
     en = with_norm(e.select(F.col(id_col).alias("vec_id"),
                             F.col(vec_col).alias("v")),
                    "v").localCheckpoint(eager=True)
-    bands = hyperplane_bands(en, n_tables, bits, seed)
+    if jvm_fold:
+        # sequential-fold projections: bit-identical to the DuckDB oracle
+        # (parity_hash.ann_oracle_sql) — the driver-gated path
+        from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+            hyperplane_buckets_df)
+
+        bands = hyperplane_buckets_df(en, n_tables, bits, seed)
+    else:
+        bands = hyperplane_bands(en, n_tables, bits, seed)
     pairs = candidate_pairs_from_bands(bands, cfg, source="ann")
     sym = (pairs.select(F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id"))
            .unionAll(pairs.select(F.col("b").alias("vec_id"),

@@ -256,3 +256,183 @@ cuts as (select t, list(value order by value) as cuts from ranked
 select v.vec_id, v.t::INTEGER as band_id,
   (len(list_filter(c.cuts, x -> v.value > x))::BIGINT) % {clamp} as bucket
 from vals v join cuts c on v.t = c.t"""
+
+
+# --------------------------------------------------------------------------- #
+# F3: random projections as a pure-JVM plan (driver-oracle variant)
+# --------------------------------------------------------------------------- #
+
+def rp_funcs_df(spark, cfg: LshConfig, dims: int):
+    """Broadcastable (t, j, coeffs, bias) table re-derived from the seed —
+    the Spark analog of the reference's pool gen + MPI_Bcast
+    (random_projections.cpp:29-79)."""
+    funcs = H.random_projection_pool(cfg.seed, cfg.num_bands, cfg.rows_per_band,
+                                     cfg.signature_pool_size, dims, cfg.w)
+    return spark.createDataFrame(
+        [(t, j, [float(x) for x in funcs[t, j, :dims]], float(funcs[t, j, dims]))
+         for t in range(cfg.num_bands) for j in range(cfg.rows_per_band)],
+        "t int, j int, coeffs array<double>, bias double")
+
+
+def _affine01(col):
+    """The FIXED affine map into the reference's [0,1] input domain
+    (generate_data.py:44-46) — batch-independent, so parallelism-invariant,
+    and identical double ops on Spark / DuckDB / NumPy."""
+    return F.transform(col, lambda x: F.least(
+        F.greatest((x + F.lit(1.0)) * F.lit(0.5), F.lit(0.0)), F.lit(1.0)))
+
+
+def rp_buckets_df(e: DataFrame, cfg: LshConfig,
+                  id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """Random-projections bucket assignment (random_projections.hpp:72-85
+    chain) as JVM built-ins only: fold-dot projections, floor-quantize,
+    u32-wrap, hash_combine fold from rows_per_band, mod bucket_modulus.
+
+    Same chain as functions.hashing.random_projection_buckets but with the
+    SEQUENTIAL FP summation order (hashing.seqdot / DuckDB list_reduce) so
+    the driver's DuckDB oracle (rp_oracle_sql) hash-matches bit-exactly.
+    """
+    spark = e.sparkSession
+    src = e.select(F.col(id_col).alias("vec_id"),
+                   _affine01(F.col(vec_col).cast("array<double>")).alias("v"))
+    dims = len(src.select("v").head()[0])
+    funcs_df = rp_funcs_df(spark, cfg, dims)
+    # h = a.x + b >= 0 (|N| coeffs, [0,1] data, b in [0,w)) so floor ==
+    # the C++ float->uint truncation; mask == u32 wrap.
+    q = (src.crossJoin(F.broadcast(funcs_df))
+         .select("vec_id", "t", "j",
+                 F.floor((_fold_dot(F.col("v"), F.col("coeffs"), F.lit(0.0))
+                          + F.col("bias")) / F.lit(float(cfg.w)))
+                 .cast("long").bitwiseAND(F.lit(_MASK)).alias("q")))
+    folded = (q.groupBy("vec_id", "t")
+              .agg(F.transform(F.array_sort(F.collect_list(F.struct("j", "q"))),
+                               lambda s: s["q"]).alias("ql")))
+    bucket = F.pmod(
+        F.aggregate(F.col("ql"), F.lit(cfg.rows_per_band).cast("long"), _hc_col),
+        F.lit(cfg.bucket_modulus))
+    return folded.select("vec_id", F.col("t").cast("int").alias("band_id"),
+                         bucket.alias("bucket"))
+
+
+def rp_oracle_sql(cfg: LshConfig, dims: int,
+                  table: str = "embeddings", id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> str:
+    """DuckDB SQL computing the identical random-projections chain."""
+    funcs = H.random_projection_pool(cfg.seed, cfg.num_bands, cfg.rows_per_band,
+                                     cfg.signature_pool_size, dims, cfg.w)
+    func_rows = ", ".join(
+        f"({t}, {j}, {_arr_lit(funcs[t, j, :dims])}, "
+        f"{repr(float(funcs[t, j, dims]))}::DOUBLE)"
+        for t in range(cfg.num_bands) for j in range(cfg.rows_per_band))
+    k = cfg.rows_per_band
+    return f"""
+with funcs(t, j, coeffs, bias) as (values {func_rows}),
+scaled as (
+  select {id_col} as vec_id,
+    list_transform({vec_col}, x -> least(greatest((x::DOUBLE + 1.0) * 0.5,
+                                                  0.0), 1.0)) as v
+  from {table}),
+q as (
+  select s.vec_id, funcs.t, funcs.j,
+    (floor((list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+        range(1, {dims + 1}), i -> s.v[i] * funcs.coeffs[i])),
+        (acc, x) -> acc + x) + funcs.bias)
+      / {repr(float(cfg.w))}::DOUBLE)::BIGINT & {_MASK}) as q
+  from scaled s cross join funcs),
+folded as (select vec_id, t, list(q order by j) as ql from q group by vec_id, t)
+select vec_id, t::INTEGER as band_id,
+  list_reduce(list_prepend({k}::BIGINT, ql),
+              (acc, x) -> {_hc_sql('acc', 'x')}) % {cfg.bucket_modulus} as bucket
+from folded"""
+
+
+# --------------------------------------------------------------------------- #
+# Hyperplane (Charikar sign-bit) tables as a pure-JVM plan + DuckDB oracle
+# --------------------------------------------------------------------------- #
+
+def hyperplane_funcs_df(spark, n_tables: int, bits: int, seed: int, dims: int):
+    """(t, j, wt=2^j, coeffs) for the seeded Gaussian hyperplanes; plane
+    p = t*bits + j (row-major, matching embedding.hyperplane_bands)."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        hyperplane_planes)
+
+    planes = hyperplane_planes(seed, n_tables * bits, dims)
+    return spark.createDataFrame(
+        [(p // bits, p % bits, 1 << (p % bits),
+          [float(x) for x in planes[p]])
+         for p in range(n_tables * bits)],
+        "t int, j int, wt long, coeffs array<double>")
+
+
+def hyperplane_buckets_df(e: DataFrame, n_tables: int, bits: int, seed: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "v") -> DataFrame:
+    """(id, vec) -> (image_id, band_id, bucket): sign-bit buckets with
+    SEQUENTIAL fold-dot projections — bit-identical to the DuckDB oracle
+    (ann_oracle_sql), drop-in for embedding.hyperplane_bands."""
+    spark = e.sparkSession
+    src = e.select(F.col(id_col).alias("image_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    dims = len(src.select("v").head()[0])
+    funcs_df = hyperplane_funcs_df(spark, n_tables, bits, seed, dims)
+    bit = (src.crossJoin(F.broadcast(funcs_df))
+           .select("image_id", "t",
+                   F.when(_fold_dot(F.col("v"), F.col("coeffs"),
+                                    F.lit(0.0)) > 0, F.col("wt"))
+                   .otherwise(F.lit(0).cast("long")).alias("bv")))
+    return (bit.groupBy("image_id", "t")
+            .agg(F.sum("bv").alias("bucket"))
+            .select("image_id", F.col("t").cast("int").alias("band_id"),
+                    "bucket"))
+
+
+def ann_oracle_sql(n_tables: int, bits: int, seed: int, dims: int, k: int,
+                   table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """DuckDB SQL for the FULL multi-table ANN top-k: sign-bit buckets
+    (identical fold) -> bucket-join candidate union (the OR-construction,
+    hash_tables.hpp:566-578) -> exact cosine re-rank, (-sim, id) order.
+
+    Valid while no (table, bucket) exceeds cfg.max_bucket_size — the
+    salt/hot-split machinery changes only task shapes, never the pair set.
+    """
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        hyperplane_planes)
+
+    planes = hyperplane_planes(seed, n_tables * bits, dims)
+    func_rows = ", ".join(
+        f"({p // bits}, {1 << (p % bits)}, {_arr_lit(planes[p])})"
+        for p in range(n_tables * bits))
+    fold = (f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+            f"range(1, {dims + 1}), i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)")
+    return f"""
+with planes(t, wt, coeffs) as (values {func_rows}),
+proj as (
+  select e.{id_col} as vec_id, p.t, p.wt,
+    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dims + 1}),
+      i -> e.{vec_col}[i]::DOUBLE * p.coeffs[i])), (acc, x) -> acc + x) as proj
+  from {table} e cross join planes p),
+bk as (select vec_id, t, sum(case when proj > 0 then wt else 0 end)::BIGINT
+         as bucket from proj group by vec_id, t),
+cand as (select distinct least(x.vec_id, y.vec_id) as a,
+                greatest(x.vec_id, y.vec_id) as b
+         from bk x join bk y on x.t = y.t and x.bucket = y.bucket
+              and x.vec_id <> y.vec_id),
+sym as (select a as vec_id, b as neighbor_id from cand
+        union all select b as vec_id, a as neighbor_id from cand),
+vec as (select {id_col} as vec_id,
+          list_transform({vec_col}, x -> x::DOUBLE) as v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+            range(1, {dims + 1}),
+            i -> {vec_col}[i]::DOUBLE * {vec_col}[i]::DOUBLE)),
+            (acc, x) -> acc + x)) as norm
+        from {table}),
+sims as (select s.vec_id, s.neighbor_id,
+           round({fold} / (a.norm * b.norm), 6) as sim
+         from sym s join vec a on a.vec_id = s.vec_id
+              join vec b on b.vec_id = s.neighbor_id)
+select vec_id, neighbor_id, rank, sim from (
+  select vec_id, neighbor_id, sim,
+    row_number() over (partition by vec_id
+                       order by sim desc, neighbor_id)::INTEGER as rank
+  from sims) where rank <= {k}"""

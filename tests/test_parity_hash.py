@@ -98,3 +98,50 @@ def test_hash_combine_masked_bigint_matches_uint32(spark):
            .orderBy("s", "v").collect()]
     order = np.lexsort((vals, seeds))
     assert got == [int(want[i]) for i in order]
+
+
+def test_rp_buckets_df_equals_seqdot_numpy(spark, pts):
+    """The JVM random-projections plan (rp_buckets_df) == the numpy chain
+    recomputed with SEQUENTIAL fold-dot (hashing.seqdot) — the FP order
+    the DuckDB oracle (rp_oracle_sql) also uses."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        _MASK, rp_buckets_df)
+
+    cfg = LshConfig(num_bands=4, rows_per_band=5, signature_pool_size=8)
+    got = _collect_buckets(rp_buckets_df(_df(spark, pts), cfg))
+
+    funcs = H.random_projection_pool(cfg.seed, cfg.num_bands, cfg.rows_per_band,
+                                     cfg.signature_pool_size, pts.shape[1],
+                                     cfg.w)
+    scaled = np.clip((pts + 1.0) * 0.5, 0.0, 1.0)
+    for t in range(cfg.num_bands):
+        # h = seqdot + bias; floor/quantize; u32 wrap; hash_combine fold
+        proj = H.seqdot(scaled, funcs[t, :, :-1]) + funcs[t, :, -1][None, :]
+        q = (np.floor(proj / cfg.w).astype(np.int64) & _MASK).astype(np.uint32)
+        acc = np.full(len(pts), cfg.rows_per_band, dtype=np.uint32)
+        for j in range(cfg.rows_per_band):
+            acc = H.hash_combine_u32(acc, q[:, j])
+        want = acc % np.uint32(cfg.bucket_modulus)
+        for i in range(len(pts)):
+            assert got[(i, t)] == int(want[i]), (i, t)
+
+
+def test_hyperplane_buckets_df_equals_seqdot_numpy(spark, pts):
+    """The JVM hyperplane plan (hyperplane_buckets_df) == numpy sign bits
+    under the identical sequential fold."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        hyperplane_planes)
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        hyperplane_buckets_df)
+
+    n_tables, bits, seed = 3, 5, 11
+    planes = hyperplane_planes(seed, n_tables * bits, pts.shape[1])
+    proj = H.seqdot(pts, planes)  # (n, n_tables*bits)
+    signs = (proj > 0).reshape(len(pts), n_tables, bits)
+    want = signs @ (1 << np.arange(bits)).astype(np.int64)
+
+    df = hyperplane_buckets_df(_df(spark, pts), n_tables, bits, seed)
+    got = {(r["image_id"], r["band_id"]): r["bucket"] for r in df.collect()}
+    for i in range(len(pts)):
+        for t in range(n_tables):
+            assert got[(i, t)] == int(want[i, t]), (i, t)
