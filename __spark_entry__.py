@@ -235,17 +235,27 @@ def _image_fixture(spark) -> DataFrame:
 
 
 def _image_hash_pairs(spark, hash_col: str) -> DataFrame:
-    """Shared body: signature stage (decode + block features + simhash,
-    vectorized) -> bit-band blocking -> exact popcount verify."""
+    """Shared body: signature stage -> bit-band blocking -> exact popcount
+    verify. The simhash path decodes pixels (multimodal decode + block
+    features + simhash, vectorized); the phash path reads the STORED
+    perceptual-hash column straight off the scan — no decode, no Python,
+    pure column pruning. Result-identical to routing through the
+    signature stage: compute_signatures passes the stored phash column
+    through unchanged (operators/signatures.py) — it only DERIVES the
+    simhash from it. At 10^12 images, decoding pixels to fetch a stored
+    column is the wrong plan."""
     from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
         hash_band_pairs)
     from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
         compute_signatures)
 
     cfg = _dedup_cfg()
-    sigs = (compute_signatures(_image_fixture(spark), cfg, with_image=True)
-            .select("image_id", "simhash", "phash")
-            .localCheckpoint(eager=True))
+    if hash_col == "phash":
+        sigs = _image_fixture(spark).select("image_id", "phash")
+    else:
+        sigs = (compute_signatures(_image_fixture(spark), cfg, with_image=True)
+                .select("image_id", "simhash", "phash")
+                .localCheckpoint(eager=True))
     cands = hash_band_pairs(sigs, hash_col, cfg, source=hash_col)
     h = sigs.select("image_id", F.col(hash_col).alias("h"))
     withs = (cands

@@ -74,8 +74,9 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     prev_sig = None
     converged = False
     for _ in range(max_iter):
-        cur = _large_star(cur).localCheckpoint(eager=True)
-        cur = _small_star(cur).localCheckpoint(eager=True)
+        # one checkpoint per (large-star ∘ small-star) round: lineage stays
+        # bounded at two star ops while halving the materialization jobs
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _edge_checksum(cur)
         if sig == prev_sig:
             converged = True
