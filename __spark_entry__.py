@@ -438,6 +438,40 @@ def q_embedding_neardup_lsh_pairs(spark, sf):
     return neardup_pairs_lsh(e, tau=NEARDUP_COS, n_bands=32, bits=6, seed=7)
 
 
+def q_ivf_topk(spark, sf, k: int = 5):
+    """IVF-flat approximate cosine top-k (coarse quantizer + probed-cell
+    exact re-rank) — the second ANN scale path next to the LSH tables.
+    Deterministic smallest-id centroids make the full structure
+    SQL-recomputable, so the oracle checks assignment, probing AND
+    re-rank (parity_hash.ivf_oracle_sql)."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import ivf_topk
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return ivf_topk(e, k=k, n_centroids=16, nprobe=4)
+
+
+def q_ann_recall(spark, sf, k: int = 5):
+    """Scalar recall of the multi-table LSH ANN vs the brute-force top-k —
+    the reference's own quality metric (% correct vs brute ground truth,
+    nearest_neighbors_result.cpp:104-143) as a driver-checked query.
+
+    The VALUE is data-dependent and honestly low on the near-uniform
+    testdata embeddings (top-k of uniform vectors are near-orthogonal —
+    no sublinear ANN finds those; that is exactly why the reference ships
+    a parameter tuner, tune_parameter.py, our tools/tune.py). On
+    clustered data the same operator measures ≥ 0.9
+    (tests/test_embedding.py). What the driver gate checks here is that
+    Spark and DuckDB compute the IDENTICAL number."""
+    ann = q_ann_lsh_topk(spark, sf, k).select("vec_id", "neighbor_id")
+    brute = q_knn_brute_topk(spark, sf, k).select("vec_id", "neighbor_id")
+    hits = brute.join(ann, ["vec_id", "neighbor_id"], "left_semi")
+    return (brute.agg(F.count("*").cast("long").alias("total"))
+            .crossJoin(hits.agg(F.count("*").cast("long").alias("hits")))
+            .select(F.round(F.col("hits") / F.col("total"), 6).alias("recall"),
+                    "hits", "total"))
+
+
 #: embeddings table dimensionality (fixed by TESTDATA.md's generator);
 #: the oracle-SQL generators need it without a Spark session.
 EMB_DIMS = 64
@@ -710,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_neardup_lsh_pairs": q_embedding_neardup_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
+        "ivf_topk": q_ivf_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
         "entropy_lsh_buckets": q_entropy_lsh_buckets,
         "mixed_lsh_buckets": q_mixed_lsh_buckets,
@@ -792,7 +828,8 @@ _NEARDUP_SQL = f"""
 
 def oracle_sql() -> dict[str, str]:
     from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
-        ann_oracle_sql, entropy_oracle_sql, mixed_oracle_sql, rp_oracle_sql)
+        ann_oracle_sql, entropy_oracle_sql, ivf_oracle_sql, mixed_oracle_sql,
+        rp_oracle_sql)
 
     return {
         "dedup_exact_clusters":
@@ -885,6 +922,16 @@ def oracle_sql() -> dict[str, str]:
         "rp_parity_buckets": rp_oracle_sql(_parity_cfg(), EMB_DIMS),
         "ann_lsh_topk": ann_oracle_sql(n_tables=8, bits=6, seed=11,
                                        dims=EMB_DIMS, k=5),
+        "ivf_topk": ivf_oracle_sql(dims=EMB_DIMS, k=5, n_centroids=16,
+                                   nprobe=4),
+        "ann_recall": f"""
+            with b as (select vec_id, neighbor_id from ({_KNN_SQL}) t),
+                 a as (select vec_id, neighbor_id from (
+                   {ann_oracle_sql(n_tables=8, bits=6, seed=11,
+                                   dims=EMB_DIMS, k=5)}) t)
+            select round(count(a.vec_id) * 1.0 / count(*), 6) as recall,
+                   count(a.vec_id)::BIGINT as hits, count(*)::BIGINT as total
+            from b left join a using (vec_id, neighbor_id)""",
         "q1_pricing_summary": """
             select l_returnflag, l_linestatus,
               round(sum(l_quantity), 4) as sum_qty,

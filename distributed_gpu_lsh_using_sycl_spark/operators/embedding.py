@@ -211,3 +211,55 @@ def knn_topk_tiled(e: DataFrame, k: int = 5, tile_target: int = 4096,
     return (allc.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("vec_id", "neighbor_id", "rank", "sim"))
+
+
+def ivf_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "v") -> DataFrame:
+    """IVF-flat approximate cosine top-k — the coarse-quantizer scale path
+    next to the LSH one (ann_topk_lsh).
+
+    Centroids are the n_centroids rows with the smallest ids — a
+    deterministic, data-dependent quantizer that needs no iterative fit,
+    so the DuckDB oracle (parity_hash.ivf_oracle_sql) can recompute the
+    ENTIRE structure: every vector is assigned to its nearest centroid
+    (rounded cosine, centroid-id tie-break); a query probes its nprobe
+    nearest centroids' cells and exactly re-ranks those candidates.
+
+    Scale shape: assignment is n × n_centroids fold-dots against a
+    broadcast centroid table (no shuffle); the probe join shuffles on
+    cell id — cells are ~n/n_centroids and n_centroids grows as √n, so
+    per-task candidate work is O(n/√n · nprobe). Swapping in k-means
+    centroids changes only the `cents` frame, not the plan.
+    """
+    en = with_norm(e.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("v")),
+                   "v").localCheckpoint(eager=True)
+    cents = (en.orderBy("vec_id").limit(n_centroids)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+    simc = (en.crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.round(dot_col(F.col("v"), F.col("cv"))
+                                        / (F.col("norm") * F.col("cnorm")), 6)))
+    wq = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    ranked = (simc.select("vec_id", "cent_id", "csim")
+              .withColumn("rn", F.row_number().over(wq)))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("m"), "cent_id")
+    probes = ranked.filter(F.col("rn") <= nprobe).select(
+        F.col("vec_id").alias("q"), "cent_id")
+    cand = (probes.join(assign, "cent_id")
+            .filter(F.col("q") != F.col("m"))
+            .select("q", "m").distinct())
+    va = en.select(F.col("vec_id").alias("q"), F.col("v").alias("va"),
+                   F.col("norm").alias("na"))
+    vb = en.select(F.col("vec_id").alias("m"), F.col("v").alias("vb"),
+                   F.col("norm").alias("nb"))
+    sims = (cand.join(va, "q").join(vb, "m")
+            .withColumn("sim", F.round(dot_col(F.col("va"), F.col("vb"))
+                                       / (F.col("na") * F.col("nb")), 6)))
+    w = W.partitionBy("q").orderBy(F.col("sim").desc(), F.col("m"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q").alias("vec_id"), F.col("m").alias("neighbor_id"),
+                    "rank", "sim"))

@@ -436,3 +436,52 @@ select vec_id, neighbor_id, rank, sim from (
     row_number() over (partition by vec_id
                        order by sim desc, neighbor_id)::INTEGER as rank
   from sims) where rank <= {k}"""
+
+
+# --------------------------------------------------------------------------- #
+# IVF-flat coarse quantizer (embedding.ivf_topk) as DuckDB SQL
+# --------------------------------------------------------------------------- #
+
+def _sql_fold(a: str, b: str, dims: int) -> str:
+    """Sequential-fold dot product of two DOUBLE[] expressions — the same
+    FP order as Spark's aggregate(zip_with(..)) in embedding.dot_col."""
+    return (f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+            f"range(1, {dims + 1}), i -> {a}[i] * {b}[i])), "
+            f"(acc, x) -> acc + x)")
+
+
+def ivf_oracle_sql(dims: int, k: int = 5, n_centroids: int = 16,
+                   nprobe: int = 4, table: str = "embeddings",
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB SQL recomputing the ENTIRE IVF structure of
+    embedding.ivf_topk: deterministic smallest-id centroids, rounded-cosine
+    nearest-centroid assignment (centroid-id tie-break), nprobe probe set,
+    exact candidate re-rank under (-sim, id)."""
+    fold = _sql_fold("a.v", "b.v", dims)
+    dv = f"list_transform({vec_col}, x -> x::DOUBLE)"
+    return f"""
+with vec as (select {id_col} as vec_id, {dv} as v,
+               sqrt({_sql_fold(dv, dv, dims)}) as norm
+             from {table}),
+cents as (select vec_id as cent_id, v as cv, norm as cnorm from vec
+          order by vec_id limit {n_centroids}),
+simc as (select v.vec_id, c.cent_id,
+           round({_sql_fold('v.v', 'c.cv', dims)} / (v.norm * c.cnorm), 6)
+             as csim
+         from vec v cross join cents c),
+ranked as (select vec_id, cent_id, row_number() over
+             (partition by vec_id order by csim desc, cent_id) as rn
+           from simc),
+assign as (select vec_id as m, cent_id from ranked where rn = 1),
+probes as (select vec_id as q, cent_id from ranked where rn <= {nprobe}),
+cand as (select distinct p.q, a.m from probes p join assign a using (cent_id)
+         where p.q <> a.m),
+sims as (select c.q as vec_id, c.m as neighbor_id,
+           round({fold} / (a.norm * b.norm), 6) as sim
+         from cand c join vec a on a.vec_id = c.q
+              join vec b on b.vec_id = c.m)
+select vec_id, neighbor_id, rank, sim from (
+  select vec_id, neighbor_id, sim,
+    row_number() over (partition by vec_id
+                       order by sim desc, neighbor_id)::INTEGER as rank
+  from sims) where rank <= {k}"""

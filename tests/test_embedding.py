@@ -96,3 +96,22 @@ def test_knn_tiled_exact(spark, pts):
     got = {(r["vec_id"], r["neighbor_id"], r["rank"], r["sim"])
            for r in knn_topk_tiled(e, k=k, tile_target=37).collect()}
     assert got == truth
+
+
+def test_ivf_topk_recall(spark, pts):
+    """IVF-flat top-k: every returned neighbor's sim must be exact, and
+    recall vs brute truth ≥ 0.7 on clustered data (nprobe=4 of 16 cells;
+    the structure is fully checked against DuckDB by the driver oracle —
+    this pins the approximation quality floor)."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import ivf_topk
+
+    k = 5
+    out = ivf_topk(_df(spark, pts), k=k, n_centroids=16, nprobe=4).collect()
+    sims = _brute(pts)
+    truth = {(i, int(j)) for i in range(len(pts))
+             for j in np.lexsort((np.arange(len(pts)), -sims[i]))[:k]}
+    got = {(r["vec_id"], r["neighbor_id"]) for r in out}
+    for r in out:  # exactness of returned sims
+        assert abs(r["sim"] - sims[r["vec_id"], r["neighbor_id"]]) < 1e-9
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, recall
