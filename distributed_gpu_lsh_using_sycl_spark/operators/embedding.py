@@ -186,22 +186,41 @@ def knn_topk_tiled(e: DataFrame, k: int = 5, tile_target: int = 4096,
 
         def tile_topk(batches, _bc=bc):
             bids, bmat = _bc.value
+            # dense rank of each tile id: id-order tie-break packs into
+            # the key as a value bounded by the tile size, so arbitrary
+            # 64-bit ids can never overflow the packed key
+            brank = np.argsort(np.argsort(bids)).astype(np.int64)
             for pdf in batches:
                 qids = pdf["vec_id"].to_numpy(dtype=np.int64)
                 Q = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
                 Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
                 sims = np.round(Qn @ bmat.T, 6)
-                sims[qids[:, None] == bids[None, :]] = -np.inf  # self
                 nk = min(k, sims.shape[1])
-                out = []
-                for i in range(len(qids)):
-                    # total-order top-k: lexsort on (id asc) then (-sim)
-                    order = np.lexsort((bids, -sims[i]))[:nk]
-                    for j in order:
-                        if np.isfinite(sims[i, j]):
-                            out.append((int(qids[i]), int(bids[j]),
-                                        float(sims[i, j])))
-                yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim"])
+                # Fully vectorized EXACT top-k under (-sim, id): sims are
+                # rounded to 6 decimals, so scaled = sims*1e6 is an exact
+                # integer in [-1e6, 1e6]; pack (scaled, -id) into one
+                # int64 key whose DESCENDING order IS the total order —
+                # argpartition on an exact integer key has no float-tie
+                # hazard and no per-row Python loop. Self-matches get a
+                # sentinel below every real key and are dropped at emit.
+                scaled = np.round(sims * 1e6).astype(np.int64)
+                scaled[qids[:, None] == bids[None, :]] = -(1 << 21)
+                key = scaled * (1 << 33) - brank[None, :]
+                if key.shape[1] > nk:
+                    idx = np.argpartition(-key, nk - 1, axis=1)[:, :nk]
+                else:
+                    idx = np.broadcast_to(np.arange(key.shape[1]),
+                                          (len(qids), key.shape[1])).copy()
+                order = np.argsort(-np.take_along_axis(key, idx, axis=1),
+                                   axis=1, kind="stable")
+                sel = np.take_along_axis(idx, order, axis=1)
+                keep = np.take_along_axis(scaled, sel, axis=1) != -(1 << 21)
+                yield pd.DataFrame({
+                    "vec_id": np.repeat(qids, sel.shape[1])[keep.ravel()],
+                    "neighbor_id": bids[sel].ravel()[keep.ravel()],
+                    "sim": np.take_along_axis(sims, sel, axis=1)
+                           .ravel()[keep.ravel()],
+                })
 
         parts.append(queries.mapInPandas(
             tile_topk, schema="vec_id long, neighbor_id long, sim double"))
