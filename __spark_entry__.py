@@ -32,7 +32,12 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 SHINGLE_K = 3
 SUBSTR_L = 24
 JACCARD_TAU = 0.5
-NEARDUP_COS = 0.8
+#: cosine near-dup threshold. 0.45 (not a production 0.8+) because the
+#: driver fixture's embeddings are near-orthogonal synthetics whose max
+#: pairwise cosine is ~0.51 — at 0.8 both near-dup queries would be a
+#: vacuous 0-row == 0-row match. At 0.45 the truth set is non-empty
+#: (14 pairs at sf0.01) so LSH-reproduces-brute is a real signal.
+NEARDUP_COS = 0.45
 EN = ("the", "and", "of", "to", "is", "in", "that", "it")
 ES = ("el", "la", "de", "que", "los", "una", "por", "con")
 FR = ("le", "les", "des", "est", "une", "dans", "pour", "qui")
@@ -427,15 +432,23 @@ def q_ann_lsh_topk(spark, sf, k: int = 5):
 def q_embedding_neardup_lsh_pairs(spark, sf):
     """Scale path for q_embedding_neardup_pairs: banded multi-table
     hyperplane LSH candidates (salted/skew-split) + exact cosine verify.
-    LSH-then-verify reproduces the brute-force set (same SQL oracle);
-    per-pair miss probability at tau ≈ 8e-5 with 32 bands x 6 bits, and
-    the non-empty-truth case is pinned by tests/test_embedding.py."""
+    LSH-then-verify reproduces the brute-force set (same SQL oracle).
+
+    Band sizing follows the operating point: per-band collision for
+    similarity s is (1 - acos(s)/pi)^bits, so at tau=0.45 (low because
+    the fixture's max cosine is ~0.51 — see NEARDUP_COS) 96 bands x
+    5 bits give a boundary-pair miss probability (1 - 0.6486^5)^96
+    ≈ 8e-6; at a production tau of 0.8 the selective 32x6 config
+    suffices (miss ≈ 8e-5). Low tau costs selectivity — that is
+    inherent to hyperplane LSH, not to this plan; the candidate stage
+    stays salted/capped either way. Non-empty truth additionally
+    pinned by tests/test_embedding.py at high tau."""
     from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
         neardup_pairs_lsh)
 
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return neardup_pairs_lsh(e, tau=NEARDUP_COS, n_bands=32, bits=6, seed=7)
+    return neardup_pairs_lsh(e, tau=NEARDUP_COS, n_bands=96, bits=5, seed=7)
 
 
 def q_ivf_topk(spark, sf, k: int = 5):
