@@ -166,37 +166,21 @@ def q_lcs_window_pairs(spark, sf):
 
 def q_doc_simhash_pairs(spark, sf):
     """Text SimHash near-dup pairs (hamming <= 8) — banded blocking +
-    exact popcount verify. Not SQL-expressible (rows-only check)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
+    exact popcount verify. FULLY oracle-checked: the simhash chain is
+    pure-JVM columns (parity_hash.doc_simhash_col — u32 hash_combine char
+    fold per shingle, hi/lo word derivation, bit votes) and the DuckDB
+    oracle (doc_simhash_oracle_sql) recomputes the identical chain in SQL
+    plus a brute-force popcount over all pairs, so the banded blocking's
+    exact-recall guarantee (hash_band_pairs) is value-hash verified."""
     from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
-    from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
     from distributed_gpu_lsh_using_sycl_spark.operators.banding import hash_band_pairs
-    from distributed_gpu_lsh_using_sycl_spark.operators.signatures import shingle_crc_col
-
-    @F.pandas_udf(T.LongType())
-    def text_simhash(crcs):
-        arrays = [np.asarray(x, dtype=np.int64).view(np.uint64)
-                  if x is not None and len(x) else np.zeros(0, dtype=np.uint64)
-                  for x in crcs]
-        counts = np.fromiter((len(x) for x in arrays), dtype=np.int64, count=len(arrays))
-        out = np.zeros(len(arrays), dtype=np.uint64)
-        ne = counts > 0
-        if ne.any():
-            flat = H.hash_combine_u64(np.uint64(SHINGLE_K),
-                                      np.concatenate([a for a in arrays if len(a)]))
-            offs = np.zeros(int(ne.sum()), dtype=np.int64)
-            np.cumsum(counts[ne][:-1], out=offs[1:])
-            out[ne] = H.simhash64(flat, offs, int(ne.sum()))
-        return pd.Series(out.view(np.int64))
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        doc_simhash_col)
 
     d = _t(spark, sf, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
     sigs = (d.select(F.col("doc_id").alias("image_id"),
-                     shingle_crc_col(F.col("text"), SHINGLE_K).alias("shingles"))
-            .withColumn("simhash", text_simhash("shingles"))
+                     doc_simhash_col(F.col("text"), SHINGLE_K).alias("simhash"))
             .localCheckpoint(eager=True))
     cands = hash_band_pairs(sigs, "simhash", LshConfig(), source="simhash")
     sh = sigs.select(F.col("image_id"), F.col("simhash"))
@@ -841,10 +825,12 @@ _NEARDUP_SQL = f"""
 
 def oracle_sql() -> dict[str, str]:
     from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
-        ann_oracle_sql, entropy_oracle_sql, ivf_oracle_sql, mixed_oracle_sql,
-        rp_oracle_sql)
+        ann_oracle_sql, doc_simhash_oracle_sql, entropy_oracle_sql,
+        ivf_oracle_sql, mixed_oracle_sql, rp_oracle_sql)
 
     return {
+        "doc_simhash_pairs": doc_simhash_oracle_sql(
+            k=SHINGLE_K, hamming_threshold=8),
         "dedup_exact_clusters":
             "select doc_id, min(doc_id) over (partition by text) as cluster_id "
             "from documents",

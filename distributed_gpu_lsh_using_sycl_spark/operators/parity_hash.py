@@ -485,3 +485,100 @@ select vec_id, neighbor_id, rank, sim from (
     row_number() over (partition by vec_id
                        order by sim desc, neighbor_id)::INTEGER as rank
   from sims) where rank <= {k}"""
+
+
+# --------------------------------------------------------------------------- #
+# Text SimHash — cross-engine chain (JVM columns == DuckDB SQL, bit-exact)
+# --------------------------------------------------------------------------- #
+
+_POW32 = [1 << b for b in range(32)]
+
+
+def _word_fp32(words_col):
+    """32-bit SimHash fingerprint (bigint Column) of an array<long> of
+    32-bit words: every word votes +1/-1 per bit, bit set iff the vote sum
+    is strictly positive (hashing.simhash64's ``sums > 0`` rule). Pure
+    JVM: getbit + zip_with fold, whole-stage-codegen friendly."""
+    votes = F.aggregate(
+        words_col,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(31)),
+                        lambda b: F.getbit(x, b) * 2 - 1),
+            lambda a, v: a + v))
+    weighted = F.zip_with(
+        votes, F.array(*[F.lit(p).cast("long") for p in _POW32]),
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def doc_simhash_col(text_col, k: int = 3):
+    """64-bit text SimHash as a pure-JVM Column, reproducible in DuckDB
+    SQL (doc_simhash_oracle_sql) for the driver's value-hash gate.
+
+    Chain: distinct word-k-shingles (signatures.shingles_col) → per
+    shingle a uint32 hash_combine fold over the character code points
+    (hash_combine.hpp:23-32 constants; seed = k, mirroring the reference's
+    seeding of the u64 chain with the shingle size) → two decorrelated
+    32-bit words hc(h,1) / hc(h,2) → independent 32-bit bit-vote
+    fingerprints → hi<<32 | lo. Shingle ORDER never matters (votes are
+    sums), so Spark's array_distinct and DuckDB's list_distinct agree.
+    """
+    from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
+        shingles_col)
+
+    h32 = F.transform(
+        shingles_col(text_col, k),
+        lambda sg: F.aggregate(
+            F.transform(F.split(sg, ""), lambda c: F.ascii(c)),
+            F.lit(k).cast("long"), _hc_col))
+    his = F.transform(h32, lambda x: _hc_col(x, F.lit(1)))
+    los = F.transform(h32, lambda x: _hc_col(x, F.lit(2)))
+    return F.shiftleft(_word_fp32(his), 32).bitwiseOR(_word_fp32(los))
+
+
+def _sql_fp32(col: str) -> str:
+    """DuckDB fingerprint of a BIGINT[] of 32-bit words == _word_fp32."""
+    vote = (f"coalesce(list_sum(list_transform({col}, "
+            f"x -> case when ((x >> b) & 1) = 1 then 1 else -1 end)), 0)")
+    return (f"coalesce(list_sum(list_transform(range(0, 32), "
+            f"b -> case when {vote} > 0 then (1::BIGINT << b) "
+            f"else 0::BIGINT end)), 0)::BIGINT")
+
+
+def doc_simhash_oracle_sql(k: int = 3, hamming_threshold: int = 8,
+                           table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """Brute-force (a, b, hamming) pairs at hamming <= threshold, with the
+    ENTIRE simhash chain recomputed in DuckDB — shingling, the uint32
+    hash_combine char fold, the hi/lo word derivation and the bit votes
+    are all re-expressed in SQL, so the Spark side's banded blocking
+    (hash_band_pairs, recall exactly 1.0 at the threshold) must reproduce
+    this set value-for-value."""
+    fold = (f"list_reduce(list_prepend({k}::BIGINT, "
+            f"list_transform(string_split(sg, ''), c -> ord(c)::BIGINT)), "
+            f"(acc, c) -> {_hc_sql('acc', 'c')})")
+    kgram = " || ' ' || ".join(f"words[i+{j}]" for j in range(k))
+    return f"""
+with toks as (select {id_col} as doc_id, list_filter(
+        regexp_split_to_array(lower(trim({text_col})), '\\s+'),
+        x -> x <> '') words from {table}),
+sh as (select doc_id,
+        case when len(words) = 0 then []::varchar[]
+             when len(words) < {k} then [array_to_string(words, ' ')]
+             else list_distinct(list_transform(
+                    range(1, len(words) - {k - 2}), i -> {kgram})) end s
+       from toks),
+hs as (select doc_id, list_transform(s, sg -> {fold}) h32 from sh),
+hl as (select doc_id,
+        list_transform(h32, x -> {_hc_sql('x', '1')}) hi,
+        list_transform(h32, x -> {_hc_sql('x', '2')}) lo
+       from hs),
+f as (select doc_id, {_sql_fp32('hi')} fhi, {_sql_fp32('lo')} flo from hl)
+select a.doc_id as a, b.doc_id as b,
+       (bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo)))::INT
+         as hamming
+from f a join f b on a.doc_id < b.doc_id
+where bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo))
+      <= {hamming_threshold}"""

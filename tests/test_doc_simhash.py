@@ -1,12 +1,13 @@
 """doc_simhash_pairs pinned by an INDEPENDENT oracle: a from-scratch
-python/numpy recomputation (re tokenizer + zlib.crc32 + the u64
-hash_combine + simhash + brute-force popcount over all pairs) must equal
-the Spark query's banded-blocking + verify output exactly. This is the
-no-SQL-oracle query's correctness gate — blocking completeness at the
-hamming threshold is exactly where LSH bugs hide."""
+python/numpy recomputation (re tokenizer, the uint32 hash_combine char
+fold, hi/lo word derivation, bit votes, brute-force popcount over all
+pairs) must equal the Spark query's banded-blocking + verify output
+exactly. Blocking completeness at the hamming threshold is exactly where
+LSH bugs hide — and since round 2 the same chain is ALSO re-expressed in
+DuckDB SQL (parity_hash.doc_simhash_oracle_sql) for the driver's
+value-hash gate; this test is the python leg of that triangle."""
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -15,6 +16,18 @@ import pytest
 SF = "/root/testdata/sf0.001"
 K = 3
 THRESH = 8
+
+_MASK = 0xFFFFFFFF
+
+
+def _hc32(acc: int, x: int) -> int:
+    """uint32 hash_combine (hash_combine.hpp:23-32), scalar python."""
+    s = (acc + 0x9E3779B9 + x) & _MASK
+    s ^= s >> 16
+    s = (s * 0x21F0AAAD) & _MASK
+    s ^= s >> 15
+    s = (s * 0x735A2D97) & _MASK
+    return s ^ (s >> 15)
 
 
 def _shingles(text: str) -> list[str]:
@@ -27,18 +40,22 @@ def _shingles(text: str) -> list[str]:
 
 
 def _simhash(text: str) -> int:
-    from distributed_gpu_lsh_using_sycl_spark.functions.hashing import (
-        hash_combine_u64, simhash64)
+    words = []
+    for s in _shingles(text):
+        h = K
+        for c in s:
+            h = _hc32(h, ord(c))
+        words.append((_hc32(h, 1), _hc32(h, 2)))
+    fp = 0
+    for half, off in ((0, 32), (1, 0)):  # hi << 32 | lo
+        for b in range(32):
+            votes = sum(1 if (w[half] >> b) & 1 else -1 for w in words)
+            if votes > 0:
+                fp |= 1 << (off + b)
+    return fp
 
-    crcs = np.array([zlib.crc32(s.encode()) for s in _shingles(text)],
-                    dtype=np.uint64)
-    if len(crcs) == 0:
-        return 0
-    feats = hash_combine_u64(np.uint64(K), crcs)
-    return int(simhash64(feats, np.array([0]), 1)[0])
 
-
-def test_doc_simhash_pairs_matches_numpy_oracle(spark):
+def test_doc_simhash_pairs_matches_python_oracle(spark):
     import __spark_entry__ as E
 
     docs = pd.read_parquet(f"{SF}/documents.parquet")
