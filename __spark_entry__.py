@@ -525,6 +525,25 @@ def q_rp_parity_buckets(spark, sf):
     return rp_buckets_df(e, _parity_cfg())
 
 
+def q_lsh_knn(spark, sf, k: int = 5):
+    """THE reference query: fit + kneighbors (``./prog input_file k``,
+    main.cpp:46-55) under the random-projections family, as the
+    distributed plan in operators/lsh_knn.lsh_kneighbors. FULLY
+    oracle-checked: parity_hash.lsh_knn_oracle_sql recomputes the bucket
+    chain, the any-table candidate scan, the sequential-fold squared-L2
+    re-rank AND the own-id not-found fill in DuckDB, so the approximation
+    itself (including its misses) must agree value-for-value. Also pinned
+    slot-for-slot against parity/oracle.knn_oracle in
+    tests/test_lsh_knn.py, and runnable from the CLI analog
+    jobs/run_lsh_knn.py."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.lsh_knn import (
+        lsh_kneighbors)
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return lsh_kneighbors(e, k, family="random_projections",
+                          cfg=_parity_cfg(), vec_col="embedding")
+
+
 def q_cc_clusters(spark, sf):
     """Connected components (large-star/small-star, operators/components)
     under the hard correctness signal: edges = exact-dup pairs ∪
@@ -744,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
+        "lsh_knn": q_lsh_knn,
         "entropy_lsh_buckets": q_entropy_lsh_buckets,
         "mixed_lsh_buckets": q_mixed_lsh_buckets,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -826,7 +846,7 @@ _NEARDUP_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
         ann_oracle_sql, doc_simhash_oracle_sql, entropy_oracle_sql,
-        ivf_oracle_sql, mixed_oracle_sql, rp_oracle_sql)
+        ivf_oracle_sql, lsh_knn_oracle_sql, mixed_oracle_sql, rp_oracle_sql)
 
     return {
         "doc_simhash_pairs": doc_simhash_oracle_sql(
@@ -919,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "mixed_lsh_buckets": mixed_oracle_sql(_parity_cfg(), EMB_DIMS,
                                               MIXED_SEED),
         "rp_parity_buckets": rp_oracle_sql(_parity_cfg(), EMB_DIMS),
+        "lsh_knn": lsh_knn_oracle_sql(_parity_cfg(), EMB_DIMS, k=5),
         "ann_lsh_topk": ann_oracle_sql(n_tables=8, bits=6, seed=11,
                                        dims=EMB_DIMS, k=5),
         "ivf_topk": ivf_oracle_sql(dims=EMB_DIMS, k=5, n_centroids=16,

@@ -214,7 +214,7 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
     spark = _spark(cores)
     picks = ["dedup_minhash_lsh_pairs", "dedup_substring_pairs", "lcs_window_pairs",
              "doc_simhash_pairs", "cc_clusters", "lang_id", "token_counts",
-             "knn_block_matmul_topk", "ann_lsh_topk", "ivf_topk",
+             "knn_block_matmul_topk", "ann_lsh_topk", "ivf_topk", "lsh_knn",
              "embedding_neardup_lsh_pairs",
              "entropy_lsh_buckets", "mixed_lsh_buckets", "image_phash_pairs",
              "q1_pricing_summary", "revenue_by_nation",

@@ -1,0 +1,139 @@
+"""Audio / video multimodal operators — the Spark-side plumbing for the
+remaining opaque-binary modalities next to the image path
+(operators/signatures.make_simhash_udf).
+
+Design, shared with the image path: modality payloads are opaque
+``binary`` columns with typed metadata columns beside them; decode +
+feature-extract run once per Arrow batch inside numpy (pandas UDF /
+mapInPandas — zero per-row Python at the Spark row level); near-dup
+candidates then ride the SAME banded machinery as every other 64-bit
+fingerprint (banding.hash_band_pairs — salted, skew-split, exact recall
+at the hamming threshold). The deterministic SAUD/SVID codecs stand in
+for libsndfile/libav (not importable in this container) behind the same
+2-function swap seam as SIMG (av_codec module docstring).
+
+Schemas:
+- audio table: (audio_id long, bytes binary, sample_rate int, n_samples
+  int, fmt string)
+- video table: (video_id long, bytes binary, w int, h int, fps int,
+  n_frames int, fmt string)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+
+AUDIO_SCHEMA = ("audio_id long, bytes binary, sample_rate int, "
+                "n_samples int, fmt string")
+VIDEO_SCHEMA = ("video_id long, bytes binary, w int, h int, fps int, "
+                "n_frames int, fmt string")
+
+_AUDIO_FEAT_SCHEMA = T.StructType([
+    T.StructField("fingerprint", T.LongType()),
+    T.StructField("rms", T.ArrayType(T.DoubleType())),
+    T.StructField("zcr", T.ArrayType(T.DoubleType())),
+])
+
+
+def audio_features_col():
+    """Series(bytes) -> struct(fingerprint int64, rms array, zcr array).
+    Decode + window kernels run per Arrow batch in numpy."""
+    from distributed_gpu_lsh_using_sycl_spark.functions.av_codec import (
+        audio_features, audio_fingerprint64, decode_audio)
+
+    @F.pandas_udf(_AUDIO_FEAT_SCHEMA)
+    def udf(blobs: pd.Series) -> pd.DataFrame:
+        fps, rms, zcr = [], [], []
+        for blob in blobs:
+            samples, _, _ = decode_audio(bytes(blob))
+            fps.append(np.int64(np.uint64(audio_fingerprint64(samples))))
+            feats = audio_features(samples)
+            rms.append(feats[:, 0].tolist())
+            zcr.append(feats[:, 1].tolist())
+        return pd.DataFrame({"fingerprint": fps, "rms": rms, "zcr": zcr})
+
+    return udf
+
+
+def audio_neardup_pairs(audio: DataFrame, cfg: LshConfig | None = None,
+                        hamming_threshold: int | None = None) -> DataFrame:
+    """(a, b, hamming) audio near-dup pairs via the 64-bit energy-delta
+    fingerprint + the shared banded blocking (exact recall at the
+    threshold) + popcount verify."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        hash_band_pairs)
+
+    cfg = cfg or LshConfig()
+    ham = cfg.hamming_threshold if hamming_threshold is None else hamming_threshold
+    sigs = (audio.select(F.col("audio_id").alias("image_id"),
+                         audio_features_col()(F.col("bytes"))["fingerprint"]
+                         .alias("fp"))
+            .localCheckpoint(eager=True))
+    cands = hash_band_pairs(sigs, "fp", cfg, source="audio_fp")
+    s = sigs.select("image_id", "fp")
+    withs = (cands
+             .join(s.select(F.col("image_id").alias("a"),
+                            F.col("fp").alias("ha")), "a")
+             .join(s.select(F.col("image_id").alias("b"),
+                            F.col("fp").alias("hb")), "b"))
+    return (withs
+            .withColumn("hamming",
+                        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                        .cast("int"))
+            .filter(F.col("hamming") <= ham)
+            .select("a", "b", "hamming"))
+
+
+def video_frame_hashes(video: DataFrame, every_k: int = 2) -> DataFrame:
+    """(video_id, frame_idx, phash) — deterministic every-k-th frame
+    sampling + per-frame phash64, via mapInPandas (one decode walk per
+    blob per Arrow batch; the fan-out row count is data-dependent, which
+    is exactly what mapInPandas is for)."""
+    from distributed_gpu_lsh_using_sycl_spark.functions.av_codec import (
+        iter_frames)
+    from distributed_gpu_lsh_using_sycl_spark.functions.image_codec import (
+        phash64)
+
+    out_schema = "video_id long, frame_idx int, phash long"
+
+    def gen(batches):
+        for pdf in batches:
+            vids, idxs, hashes = [], [], []
+            for vid, blob in zip(pdf["video_id"], pdf["bytes"]):
+                for i, frame in enumerate(iter_frames(bytes(blob))):
+                    if i % every_k:
+                        continue
+                    vids.append(vid)
+                    idxs.append(i)
+                    hashes.append(np.int64(np.uint64(phash64(frame))))
+            yield pd.DataFrame({"video_id": vids, "frame_idx": idxs,
+                                "phash": hashes})
+
+    return (video.select("video_id", "bytes")
+            .mapInPandas(gen, schema=out_schema))
+
+
+def video_neardup_pairs(video: DataFrame, cfg: LshConfig | None = None,
+                        every_k: int = 2, min_shared: int = 2) -> DataFrame:
+    """(a, b, shared_frames) video near-dup pairs: sampled-frame phashes
+    matched EXACTLY (hamming 0 — re-encoded dups share phashes under the
+    deterministic codec), pairs counted over shared frame hashes, kept at
+    >= min_shared. The frame-hash equi-join shuffles on phash — the same
+    bucket-join shape as every LSH stage, so salting applies if a
+    degenerate frame (e.g. black) goes hot; here the groupBy count is the
+    skew release valve."""
+    fh = video_frame_hashes(video, every_k).select(
+        F.col("video_id"), F.col("phash"))
+    a = fh.select(F.col("video_id").alias("a"), "phash")
+    b = fh.select(F.col("video_id").alias("b"), "phash")
+    return (a.join(b, "phash")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("shared_frames"))
+            .filter(F.col("shared_frames") >= min_shared))

@@ -314,10 +314,12 @@ def rp_buckets_df(e: DataFrame, cfg: LshConfig,
                          bucket.alias("bucket"))
 
 
-def rp_oracle_sql(cfg: LshConfig, dims: int,
-                  table: str = "embeddings", id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> str:
-    """DuckDB SQL computing the identical random-projections chain."""
+def _rp_bucket_ctes(cfg: LshConfig, dims: int,
+                    table: str = "embeddings", id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """CTE block (no leading WITH) ending in rpb(vec_id, band_id, bucket)
+    — the composable form of the random-projections chain, shared by
+    rp_oracle_sql and lsh_knn_oracle_sql."""
     funcs = H.random_projection_pool(cfg.seed, cfg.num_bands, cfg.rows_per_band,
                                      cfg.signature_pool_size, dims, cfg.w)
     func_rows = ", ".join(
@@ -325,8 +327,7 @@ def rp_oracle_sql(cfg: LshConfig, dims: int,
         f"{repr(float(funcs[t, j, dims]))}::DOUBLE)"
         for t in range(cfg.num_bands) for j in range(cfg.rows_per_band))
     k = cfg.rows_per_band
-    return f"""
-with funcs(t, j, coeffs, bias) as (values {func_rows}),
+    return f"""funcs(t, j, coeffs, bias) as (values {func_rows}),
 scaled as (
   select {id_col} as vec_id,
     list_transform({vec_col}, x -> least(greatest((x::DOUBLE + 1.0) * 0.5,
@@ -339,11 +340,50 @@ q as (
         (acc, x) -> acc + x) + funcs.bias)
       / {repr(float(cfg.w))}::DOUBLE)::BIGINT & {_MASK}) as q
   from scaled s cross join funcs),
-folded as (select vec_id, t, list(q order by j) as ql from q group by vec_id, t)
-select vec_id, t::INTEGER as band_id,
+folded as (select vec_id, t, list(q order by j) as ql from q group by vec_id, t),
+rpb as (select vec_id, t::INTEGER as band_id,
   list_reduce(list_prepend({k}::BIGINT, ql),
               (acc, x) -> {_hc_sql('acc', 'x')}) % {cfg.bucket_modulus} as bucket
-from folded"""
+from folded)"""
+
+
+def rp_oracle_sql(cfg: LshConfig, dims: int,
+                  table: str = "embeddings", id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> str:
+    """DuckDB SQL computing the identical random-projections chain."""
+    return (f"with {_rp_bucket_ctes(cfg, dims, table, id_col, vec_col)}\n"
+            f"select vec_id, band_id, bucket from rpb")
+
+
+def lsh_knn_oracle_sql(cfg: LshConfig, dims: int, k: int,
+                       table: str = "embeddings", id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """DuckDB SQL recomputing the ENTIRE reference kNN query
+    (lsh_knn.lsh_kneighbors, random_projections family): the rp bucket
+    chain, the any-table bucket-scan candidate set (self excluded), the
+    sequential-fold squared-L2 re-rank with id tie-break, and the own-id /
+    -1.0 fill for not-found slots (nearest_neighbors.cpp:99-131)."""
+    dsq = (f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+           f"range(1, {dims + 1}), "
+           f"i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), "
+           f"(acc, x) -> acc + x)")
+    return f"""
+with {_rp_bucket_ctes(cfg, dims, table, id_col, vec_col)},
+vec as (select {id_col} as vec_id, {vec_col}::DOUBLE[] as v from {table}),
+cand as (select distinct x.vec_id as q, y.vec_id as m
+         from rpb x join rpb y
+           on x.band_id = y.band_id and x.bucket = y.bucket
+         where x.vec_id <> y.vec_id),
+d as (select c.q, c.m, {dsq} as dsq
+      from cand c join vec a on a.vec_id = c.q join vec b on b.vec_id = c.m),
+r as (select q, m, dsq,
+        row_number() over (partition by q order by dsq, m) as rank from d),
+slots as (select {id_col} as vec_id, unnest(range(1, {k + 1})) as rank
+          from {table})
+select s.vec_id, s.rank::INTEGER as rank,
+       coalesce(r.m, s.vec_id) as neighbor_id,
+       round(coalesce(r.dsq, -1.0), 6) as dist_sq
+from slots s left join r on r.q = s.vec_id and r.rank = s.rank"""
 
 
 # --------------------------------------------------------------------------- #
