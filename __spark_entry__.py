@@ -271,6 +271,35 @@ def q_image_phash_pairs(spark, sf):
     return _image_hash_pairs(spark, "phash")
 
 
+def q_audio_neardup_pairs(spark, sf):
+    """Audio near-dup pairs over a deterministically synthesized audio
+    table (multimodal.synth_audio_df over the documents' ids — pure
+    function of the id, lossy re-encoded twin every 50th id): Arrow-
+    batched SAUD decode → 64-bit energy-delta fingerprint → the shared
+    banded blocking → popcount verify. Rows-only (binary decode is not
+    SQL-expressible); planted-dup recovery asserted in
+    tests/test_multimodal.py."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.multimodal import (
+        audio_neardup_pairs, synth_audio_df)
+
+    ids = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return audio_neardup_pairs(synth_audio_df(ids), hamming_threshold=8)
+
+
+def q_video_neardup_pairs(spark, sf):
+    """Video near-dup pairs over a deterministically synthesized video
+    table (lossy re-encoded twin every 50th id): mapInPandas frame
+    sampling (every 2nd frame) → per-frame phash → shared-frame count.
+    Rows-only; planted-dup recovery asserted in tests/test_multimodal.py."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.multimodal import (
+        synth_video_df, video_neardup_pairs)
+
+    ids = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return video_neardup_pairs(synth_video_df(ids), every_k=2)
+
+
 # --------------------------------------------------------------------------- #
 # documents: text analysis family
 # --------------------------------------------------------------------------- #
@@ -755,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_clusters": q_cc_clusters,
         "image_simhash_pairs": q_image_simhash_pairs,
         "image_phash_pairs": q_image_phash_pairs,
+        "audio_neardup_pairs": q_audio_neardup_pairs,
+        "video_neardup_pairs": q_video_neardup_pairs,
         "knn_brute_topk": q_knn_brute_topk,
         "knn_block_matmul_topk": q_knn_block_matmul_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,

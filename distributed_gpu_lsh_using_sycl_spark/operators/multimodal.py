@@ -137,3 +137,76 @@ def video_neardup_pairs(video: DataFrame, cfg: LshConfig | None = None,
             .groupBy("a", "b")
             .agg(F.count("*").alias("shared_frames"))
             .filter(F.col("shared_frames") >= min_shared))
+
+
+# --------------------------------------------------------------------------- #
+# deterministic executor-side synthesis (driver-visible av coverage)
+# --------------------------------------------------------------------------- #
+
+def synth_audio_df(ids: DataFrame, id_col: str = "doc_id",
+                   dup_every: int = 50) -> DataFrame:
+    """Deterministic audio table synthesized ON EXECUTORS from an id
+    column (pure function of the id — the fixture convention,
+    sources/fixture.row_content): a seeded tone+noise signal per id,
+    plus a LOSSY re-encoded twin (id + 1_000_000) for every
+    ``dup_every``-th id — the planted near-dup ground truth. mapInPandas
+    so synthesis is batch-wise numpy and scales with partitions."""
+    from distributed_gpu_lsh_using_sycl_spark.functions.av_codec import (
+        encode_audio)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("audio_id", "bytes", "sample_rate", "n_samples", "fmt")}
+            for i in pdf[id_col]:
+                i = int(i)
+                rng = np.random.Generator(np.random.PCG64(i))
+                t = np.arange(6500) / 8000.0
+                sig = (0.5 * np.sin(2 * np.pi * (200 + 50 * (i % 7)) * t)
+                       + 0.05 * rng.standard_normal(6500))
+                s = (sig * 20000).clip(-32768, 32767).astype(np.int16)
+                emit = [(i, "wav")]
+                if i % dup_every == 0:
+                    emit.append((i + 1_000_000, "ogg"))
+                for aid, fmt in emit:
+                    rows["audio_id"].append(aid)
+                    rows["bytes"].append(encode_audio(s, 8000, fmt))
+                    rows["sample_rate"].append(8000)
+                    rows["n_samples"].append(len(s))
+                    rows["fmt"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    return ids.select(id_col).mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def synth_video_df(ids: DataFrame, id_col: str = "doc_id",
+                   dup_every: int = 50, n_frames: int = 6) -> DataFrame:
+    """Deterministic video table synthesized on executors: per id a stack
+    of seeded random frames (lossless "png"), plus a lossy re-encoded
+    twin every ``dup_every``-th id."""
+    from distributed_gpu_lsh_using_sycl_spark.functions.av_codec import (
+        encode_video)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("video_id", "bytes", "w", "h", "fps", "n_frames", "fmt")}
+            for i in pdf[id_col]:
+                i = int(i)
+                rng = np.random.Generator(np.random.PCG64(i))
+                frames = [rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+                          for _ in range(n_frames)]
+                emit = [(i, "png")]
+                if i % dup_every == 0:
+                    emit.append((i + 1_000_000, "jpeg"))
+                for vid, fmt in emit:
+                    rows["video_id"].append(vid)
+                    rows["bytes"].append(encode_video(frames, 10, fmt))
+                    rows["w"].append(32)
+                    rows["h"].append(24)
+                    rows["fps"].append(10)
+                    rows["n_frames"].append(n_frames)
+                    rows["fmt"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    return ids.select(id_col).mapInPandas(gen, schema=VIDEO_SCHEMA)

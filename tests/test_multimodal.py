@@ -85,3 +85,22 @@ def test_video_neardup_pairs_spark(spark):
              for r in video_neardup_pairs(df, every_k=2).collect()}
     for i in range(3):
         assert pairs.get((i, 100 + i), 0) >= 2, f"planted video dup {i} missed"
+
+
+def test_driver_av_queries(spark):
+    """The driver-visible av queries recover every planted twin at
+    sf0.001 and emit the (a, b, ...) pair shape."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    import pandas as pd_
+    ids = pd_.read_parquet(f"{sf}/documents.parquet")["doc_id"]
+    planted = {int(i) for i in ids if int(i) % 50 == 0}
+
+    ap = {(r["a"], r["b"]) for r in E.q_audio_neardup_pairs(spark, sf).collect()}
+    for i in planted:
+        assert (i, i + 1_000_000) in ap, f"audio twin {i} missed"
+
+    vp = {(r["a"], r["b"]) for r in E.q_video_neardup_pairs(spark, sf).collect()}
+    for i in planted:
+        assert (i, i + 1_000_000) in vp, f"video twin {i} missed"
