@@ -44,7 +44,11 @@ def get_spark(app_name: str = "dlsh", parallelism: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 16384: the vectorized kernels amortize python/Arrow round-trip
+        # overhead with batch size — measured 1.2-1.8x on the 32-core
+        # signature stage vs 4096 (paired A/B, BENCH/BASELINE.md); memory
+        # stays modest (~200 MB/worker with 12 KB binary rows).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
