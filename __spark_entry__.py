@@ -363,6 +363,22 @@ def q_doc_fingerprint(spark, sf):
     return d.select("doc_id", fp.alias("fp"))
 
 
+def q_token_freq_topk(spark, sf, k: int = 100):
+    """Corpus-wide top-k token frequencies — the wordcount shape every
+    training-data pipeline runs for vocabulary/contamination stats. Plan:
+    explode(tokens) → groupBy(token).count() (hash agg with MAP-SIDE
+    partial aggregation — the shuffle carries one row per distinct token
+    per partition, not one per occurrence) → global top-k via a single
+    ordered limit (rank window would shuffle everything to one partition;
+    TakeOrderedAndProject does a per-partition heap + driver merge).
+    Deterministic tie-break on the token string."""
+    d = _t(spark, sf, "documents")
+    return (d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("token"))
+            .limit(k))
+
+
 # --------------------------------------------------------------------------- #
 # embeddings: similarity search
 # --------------------------------------------------------------------------- #
@@ -780,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
+        "token_freq_topk": q_token_freq_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "cc_clusters": q_cc_clusters,
         "image_simhash_pairs": q_image_simhash_pairs,
@@ -938,6 +955,11 @@ def oracle_sql() -> dict[str, str]:
             select d.doc_id, len(words) as ws_tokens,
               len(regexp_extract_all(lower(trim(d.text)), '{BPE_RE}')) as bpe_tokens
             from documents d join toks on d.doc_id = toks.doc_id""",
+        "token_freq_topk": f"""
+            with {_TOKS_CTE},
+            tok as (select unnest(words) as token from toks)
+            select token, count(*) as freq from tok
+            group by token order by freq desc, token limit 100""",
         "doc_fingerprint": f"""
             select doc_id, list_reduce(
               list_prepend(cast(0 as bigint),
