@@ -138,7 +138,13 @@ def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
         bands = hyperplane_buckets_df(en, n_tables, bits, seed)
     else:
         bands = hyperplane_bands(en, n_tables, bits, seed)
-    pairs = candidate_pairs_from_bands(bands, cfg, source="ann")
+    # bands feeds bucket stats AND the salted self-join; the pair set
+    # feeds BOTH directions of the union — materialize each once or the
+    # projection/join subtree executes 2-4x (visible as exchange
+    # multiplication in tools/explain_audit.py)
+    bands = bands.localCheckpoint(eager=True)
+    pairs = candidate_pairs_from_bands(bands, cfg, source="ann") \
+        .localCheckpoint(eager=True)
     sym = (pairs.select(F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id"))
            .unionAll(pairs.select(F.col("b").alias("vec_id"),
                                   F.col("a").alias("neighbor_id"))))

@@ -77,10 +77,15 @@ def lsh_kneighbors(e: DataFrame, k: int, family: str = "random_projections",
     src = (e.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("v"))
            .localCheckpoint(eager=True))
-    buckets = family_buckets(src, family, cfg, seed)
+    # buckets feed stats + both sides of the salted self-join, and the
+    # pair set feeds both directions of the union — materialize each once
+    # (without this the hash-chain subtree executes 2-4x; audit shows the
+    # exchange count collapse in PLANS.md)
+    buckets = family_buckets(src, family, cfg, seed).localCheckpoint(eager=True)
     bands = buckets.select(F.col("vec_id").alias("image_id"),
                            "band_id", "bucket")
-    und = candidate_pairs_from_bands(bands, cfg, source=f"knn_{family}")
+    und = candidate_pairs_from_bands(bands, cfg, source=f"knn_{family}") \
+        .localCheckpoint(eager=True)
     cand = (und.select(F.col("a").alias("q"), F.col("b").alias("m"))
             .union(und.select(F.col("b").alias("q"), F.col("a").alias("m"))))
     va = src.select(F.col("vec_id").alias("q"), F.col("v").alias("va"))
