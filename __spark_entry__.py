@@ -589,6 +589,20 @@ def q_lsh_knn(spark, sf, k: int = 5):
                           cfg=_parity_cfg(), vec_col="embedding")
 
 
+def q_kmeans_clusters(spark, sf, k: int = 8, n_iter: int = 2):
+    """Deterministic Lloyd's k-means (operators/kmeans) — the iterative
+    fixpoint family next to connected components. FULLY oracle-checked,
+    which most k-means can't be: fixed-point integer centroid sums make
+    every engine's accumulation order irrelevant, so the DuckDB oracle
+    (kmeans_oracle_sql) unrolls the same iterations and must match the
+    assignment value-for-value."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.kmeans import (
+        kmeans_assign)
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return kmeans_assign(e, n_centroids=k, n_iter=n_iter, vec_col="embedding")
+
+
 def q_cc_clusters(spark, sf):
     """Connected components (large-star/small-star, operators/components)
     under the hard correctness signal: edges = exact-dup pairs ∪
@@ -812,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
         "lsh_knn": q_lsh_knn,
+        "kmeans_clusters": q_kmeans_clusters,
         "entropy_lsh_buckets": q_entropy_lsh_buckets,
         "mixed_lsh_buckets": q_mixed_lsh_buckets,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -889,6 +904,13 @@ _NEARDUP_SQL = f"""
         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
         6) >= {NEARDUP_COS}"""
+
+
+def _kmeans_oracle() -> str:
+    from distributed_gpu_lsh_using_sycl_spark.operators.kmeans import (
+        kmeans_oracle_sql)
+
+    return kmeans_oracle_sql(n_centroids=8, n_iter=2, dims=EMB_DIMS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -993,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
                                               MIXED_SEED),
         "rp_parity_buckets": rp_oracle_sql(_parity_cfg(), EMB_DIMS),
         "lsh_knn": lsh_knn_oracle_sql(_parity_cfg(), EMB_DIMS, k=5),
+        "kmeans_clusters": _kmeans_oracle(),
         "ann_lsh_topk": ann_oracle_sql(n_tables=8, bits=6, seed=11,
                                        dims=EMB_DIMS, k=5),
         "ivf_topk": ivf_oracle_sql(dims=EMB_DIMS, k=5, n_centroids=16,

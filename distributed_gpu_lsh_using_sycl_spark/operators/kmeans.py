@@ -1,0 +1,149 @@
+"""Deterministic Lloyd's k-means over an embedding column — the
+iterative-ML primitive family next to connected components (the other
+fixpoint loop in this engine).
+
+Why it can be ORACLE-CHECKED (most k-means can't): floating-point SUMS
+are merge-order-dependent, and Spark's partial-aggregation merge order
+varies run to run — so a naive double-sum centroid update is
+nondeterministic at the 1e-16 level, which k-means then AMPLIFIES into
+different assignments at cell boundaries. This implementation quantizes
+each coordinate to fixed-point (round(x * 2^20) as int64) once up
+front; centroid updates then sum exact integers (order-independent by
+ring axioms, not by luck), and the mean is one IEEE double division of
+exactly-representable integers (|sum| < 2^53 up to ~10^9 members per
+cell). Every engine — Spark partial aggs, DuckDB hash aggs — produces
+bit-identical centroids, so assignments match exactly.
+
+Scale shape: per iteration ONE shuffle — the (cluster, dim) integer
+partial-sum aggregation (map-side combined, k·dims cells); centroids
+(k × dims, tiny) come to the driver and go back as literals — the
+classic iterate-broadcast loop. Assignment is pure per-row JVM
+expression (k sequential-fold distances + array argmin), no shuffle,
+no python. Init = the k smallest ids' vectors (deterministic, like
+ivf_topk's coarse quantizer — swapping in k-means|| changes only the
+init frame).
+
+Clustering is NEW surface (the reference is kNN-only); the loop mirrors
+its fit/search split (nearest_neighbors.cpp:60-97) in shape only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale, 2^20 — exact in double, keeps |sum| << 2^53.
+SCALE = 1 << 20
+
+
+def _quantized(e: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    q = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x * SCALE).cast("long"))
+    return e.select(F.col(id_col).alias("vec_id"), q.alias("q"))
+
+
+def _dists_col(centroids: list[list[float]]):
+    """array<double> of sequential-fold squared L2 distances to each
+    centroid literal, in cluster order (index order of the fold matches
+    DuckDB's list_reduce bit-for-bit)."""
+    def one(cent):
+        lits = F.array(*[F.lit(float(c)) for c in cent])
+        return F.aggregate(
+            F.zip_with(F.col("q"), lits,
+                       lambda x, c: (x.cast("double") - c)
+                       * (x.cast("double") - c)),
+            F.lit(0.0), lambda acc, x: acc + x)
+    return F.array(*[one(c) for c in centroids])
+
+
+def _assign(qdf: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, q, cluster, dist): argmin centroid; ties take the
+    SMALLEST cluster index (array_position returns the first match)."""
+    d = _dists_col(centroids)
+    return (qdf.withColumn("dl", d)
+            .select("vec_id", "q",
+                    (F.array_position("dl", F.array_min("dl")) - 1)
+                    .cast("int").alias("cluster"),
+                    F.array_min("dl").alias("dist")))
+
+
+def kmeans_assign(e: DataFrame, n_centroids: int = 8, n_iter: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """(vec_id, cluster, dist) after ``n_iter - 1`` Lloyd centroid
+    updates from the deterministic smallest-ids init, then a final
+    assignment. ``dist`` is the squared fixed-point L2 to the final
+    centroid, rounded to 6 (oracle contract)."""
+    qdf = _quantized(e, id_col, vec_col).localCheckpoint(eager=True)
+    init = qdf.orderBy("vec_id").limit(n_centroids).collect()
+    centroids = [[float(x) for x in r["q"]] for r in init]
+
+    for _ in range(n_iter - 1):
+        assigned = _assign(qdf, centroids)
+        sums = (assigned.select("cluster", F.posexplode("q").alias("d", "x"))
+                .groupBy("cluster", "d")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect())
+        by_cluster: dict[int, dict[int, float]] = {}
+        for row in sums:
+            by_cluster.setdefault(int(row["cluster"]), {})[int(row["d"])] = (
+                float(row["s"]) / float(row["n"]))
+        # an empty cluster keeps its previous centroid (deterministic)
+        centroids = [
+            [by_cluster[ci][d] for d in range(len(centroids[ci]))]
+            if ci in by_cluster else centroids[ci]
+            for ci in range(n_centroids)]
+
+    final = _assign(qdf, centroids)
+    # report dist in ORIGINAL units: /SCALE^2 is an exact power-of-two
+    # division (bit-identical on every engine), and rounding to 6 only
+    # makes sense at ~1 magnitude — at the raw fixed-point ~1e12 scale,
+    # 1e-6 is far below the double ULP and engines disagree in the last
+    # printed digit.
+    return final.select(
+        "vec_id", "cluster",
+        F.round(F.col("dist") / F.lit(float(SCALE) ** 2), 6).alias("dist"))
+
+
+def kmeans_oracle_sql(n_centroids: int = 8, n_iter: int = 2, dims: int = 64,
+                      table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """DuckDB SQL unrolling the SAME ``n_iter`` Lloyd rounds: fixed-point
+    quantization, exact HUGEINT centroid sums, double-divide means,
+    sequential-fold distances, first-min tie-break — assignments must
+    match the Spark plan value-for-value."""
+    dsq = (f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+           f"range(1, {dims + 1}), i -> (q[i]::DOUBLE - c.cent[i])"
+           f" * (q[i]::DOUBLE - c.cent[i]))), (a, x) -> a + x)")
+    parts = [f"""q0 as (select {id_col} as vec_id,
+    list_transform({vec_col}::DOUBLE[], x -> round(x * {SCALE})::BIGINT) q
+  from {table}),
+c0 as (select row_number() over (order by vec_id) - 1 as cluster,
+    list_transform(q, x -> x::DOUBLE) cent
+  from q0 order by vec_id limit {n_centroids})"""]
+    prev = "c0"
+    for it in range(1, n_iter):
+        parts.append(f"""d{it} as (
+  select q0.vec_id, q0.q, c.cluster, {dsq} as dist
+  from q0 cross join {prev} c),
+a{it} as (
+  select vec_id, any_value(q) as q, list(dist order by cluster) as dl
+  from d{it} group by vec_id),
+s{it} as (
+  select (list_position(dl, list_min(dl)) - 1) as cluster, r.d,
+         sum(q[r.d])::HUGEINT as s, count(*) as n
+  from a{it} cross join range(1, {dims + 1}) as r(d)
+  group by cluster, r.d),
+m{it} as (select cluster, list(s::DOUBLE / n order by d) as cent
+  from s{it} group by cluster),
+c{it} as (select p.cluster, coalesce(m.cent, p.cent) as cent
+  from {prev} p left join m{it} m using (cluster))""")
+        prev = f"c{it}"
+    final = f"""df as (
+  select q0.vec_id, c.cluster, {dsq} as dist
+  from q0 cross join {prev} c),
+af as (select vec_id, list(dist order by cluster) as dl from df
+  group by vec_id)
+select vec_id, (list_position(dl, list_min(dl)) - 1)::INTEGER as cluster,
+       round(list_min(dl) / {float(SCALE) ** 2!r}, 6) as dist
+from af"""
+    return "with " + ",\n".join(parts) + ",\n" + final
