@@ -463,12 +463,40 @@ def main() -> None:
         "value_this_run": round(sum(times.values()), 2),
         "unit": "sec",
         "queries": folded,
-        "queries_this_run": times,
         "sf": sf_dir,
     }
     if scaling:
-        out["scaling"] = scaling
-    print(json.dumps(out))
+        # COMPACT summary only: the driver's stdout tail capture is ~2000
+        # chars, and round 2's full scaling blob (every round's pass list)
+        # pushed the line past it — the driver recorded "parsed": null.
+        # Scalars here; full rounds/passes go to BENCH/RUN_LATEST.{md,json}.
+        hc = scaling.get("host_ceiling", {})
+        out["scaling"] = {
+            "n_images": scaling["n_images"],
+            "ips2": scaling.get("w2", {}).get("images_per_sec"),
+            "ips8": scaling["w8"]["images_per_sec"],
+            "ips32": scaling["w32"]["images_per_sec"],
+            "efficiency": scaling["efficiency"],
+            "efficiency_this_run": scaling.get("efficiency_this_run"),
+            "efficiency_2_8": scaling.get("efficiency_2_8"),
+            "paired_efficiencies": scaling.get("paired_efficiencies"),
+            "host_ceiling_efficiency": hc.get("ceiling_efficiency"),
+            "record_secs": scaling.get("record_secs"),
+            "retry_pairs": scaling.get("retry_pairs"),
+        }
+        if hc.get("ceiling_efficiency"):
+            out["scaling"]["eff_vs_ceiling"] = round(
+                scaling["efficiency"] / hc["ceiling_efficiency"], 3)
+        with open(os.path.join(REPO, "BENCH", "RUN_LATEST.json"), "w") as f:
+            json.dump(scaling, f, indent=1)
+    line = json.dumps(out)
+    # Hard guard: stay under the driver's tail-capture window. Drop the
+    # per-query dict before ever letting the line be truncated mid-JSON —
+    # a parseable summary beats an unparseable detailed one.
+    if len(line) > 1900:
+        out["queries"] = {"_see": "BENCH/steady_state.json"}
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

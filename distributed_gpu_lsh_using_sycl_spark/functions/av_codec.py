@@ -70,6 +70,30 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int, str]:
     return raw, rate, fmt
 
 
+def decode_audio_grouped(blobs) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Batch decode of SAUD blobs: per-blob Python work is only the
+    13-byte header parse and one zlib C call; dequantize + reshape run
+    once per (fmt, n_samples) group over the concatenated buffer.
+    Returns ``[(indices int64 array, (m, n) int16 samples), ...]``."""
+    groups: dict[tuple, tuple[list, list]] = {}
+    for i, blob in enumerate(blobs):
+        if blob[:4] != AUD_MAGIC:
+            raise ValueError("not a SAUD blob")
+        key = (blob[4], int.from_bytes(blob[9:13], "little"))
+        idxs, raws = groups.setdefault(key, ([], []))
+        idxs.append(i)
+        raws.append(zlib.decompress(blob[13:]))
+    out = []
+    for (fc, n), (idxs, raws) in groups.items():
+        arr = np.frombuffer(b"".join(raws), dtype=np.int16) \
+            .reshape(len(idxs), -1)[:, :n]
+        if AUD_FMT_NAMES[fc] == "ogg":
+            arr = (arr.astype(np.int32) << _AQ_SHIFT) \
+                .clip(-32768, 32767).astype(np.int16)
+        out.append((np.asarray(idxs, dtype=np.int64), arr))
+    return out
+
+
 def audio_snr(clean: np.ndarray, decoded: np.ndarray) -> float:
     """SNR in dB of a decoded signal vs the original (per-row invariant
     for lossy audio, the analog of image PSNR ≥ 40 dB)."""
@@ -105,6 +129,33 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
     e = (x ** 2).mean(axis=1)
     bits = (e[1:] > e[:-1]).astype(np.uint64)
     return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+def audio_features_batch(samples: np.ndarray, n_windows: int = 16) -> np.ndarray:
+    """Batched ``audio_features``: (m, n) int16 -> (m, n_windows, 2)
+    float64 — bit-identical to the scalar kernel (same truncation, same
+    contiguous-axis means)."""
+    m, total = samples.shape
+    n = total // n_windows
+    if n == 0:
+        return np.zeros((m, n_windows, 2), dtype=np.float64)
+    x = samples[:, : n * n_windows].astype(np.float64).reshape(m, n_windows, n)
+    rms = np.sqrt((x ** 2).mean(axis=2)) / 32768.0
+    zcr = (np.signbit(x[:, :, 1:]) != np.signbit(x[:, :, :-1])).mean(axis=2)
+    return np.stack([rms, zcr], axis=2)
+
+
+def audio_fingerprint64_batch(samples: np.ndarray) -> np.ndarray:
+    """Batched ``audio_fingerprint64``: (m, n) int16 -> (m,) uint64."""
+    m, total = samples.shape
+    n = total // 65
+    if n == 0:
+        return np.zeros(m, dtype=np.uint64)
+    x = samples[:, : n * 65].astype(np.float64).reshape(m, 65, n)
+    e = (x ** 2).mean(axis=2)
+    bits = (e[:, 1:] > e[:, :-1]).astype(np.uint64)
+    return (bits << np.arange(64, dtype=np.uint64)[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
 
 
 # --------------------------------------------------------------------------- #
@@ -145,3 +196,19 @@ def sample_frames(blob: bytes, every_k: int) -> list[np.ndarray]:
     """Deterministic every-k-th frame selection (frame-sample operator);
     always includes frame 0."""
     return [fr for i, fr in enumerate(iter_frames(blob)) if i % every_k == 0]
+
+
+def sampled_frame_blobs(blob: bytes, every_k: int) -> list[tuple[int, bytes]]:
+    """[(frame_idx, SIMG bytes)] for every k-th frame — pure payload
+    slicing (no decode), so frame decoding can be batched across videos
+    via ``image_codec.decode_images_grouped``."""
+    _, n = decode_video_meta(blob)
+    off = 10
+    out = []
+    for i in range(n):
+        ln = int.from_bytes(blob[off:off + 4], "little")
+        off += 4
+        if i % every_k == 0:
+            out.append((i, blob[off:off + ln]))
+        off += ln
+    return out

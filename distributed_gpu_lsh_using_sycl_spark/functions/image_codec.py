@@ -58,6 +58,36 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, str]:
     return raw, fmt
 
 
+def decode_images_grouped(blobs) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Batch decode of a sequence of SIMG blobs.
+
+    Per-blob Python work is only the 9-byte header parse and ONE zlib C
+    call; dequantize + reshape run once per (fmt, w, h) shape group over
+    the concatenated payload buffer, so a fixed-shape corpus (the normal
+    case per row group) decodes with zero per-image numpy work. Returns
+    ``[(indices int64 array, (m, h, w, 3) uint8 pixels), ...]`` — indices
+    are positions in the input sequence.
+    """
+    groups: dict[tuple, tuple[list, list]] = {}
+    for i, blob in enumerate(blobs):
+        if blob[:4] != MAGIC:
+            raise ValueError("not a SIMG blob")
+        key = (blob[4], int.from_bytes(blob[5:7], "little"),
+               int.from_bytes(blob[7:9], "little"))
+        idxs, raws = groups.setdefault(key, ([], []))
+        idxs.append(i)
+        raws.append(zlib.decompress(blob[9:]))
+    out = []
+    for (fc, w, h), (idxs, raws) in groups.items():
+        arr = np.frombuffer(b"".join(raws), dtype=np.uint8) \
+            .reshape(len(idxs), h, w, 3)
+        if FMT_NAMES[fc] == "jpeg":
+            arr = ((arr.astype(np.uint16) << _Q_SHIFT) + _Q_BIAS) \
+                .clip(0, 255).astype(np.uint8)
+        out.append((np.asarray(idxs, dtype=np.int64), arr))
+    return out
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
@@ -131,6 +161,60 @@ def phash64(pixels: np.ndarray) -> int:
     for i, b in enumerate(bits):
         h |= b << np.uint64(i)
     return int(h.view(np.int64))
+
+
+# --------------------------------------------------------------------------- #
+# batched kernels — bit-identical to the scalar versions above (same
+# elementwise expressions / same reduceat boundaries / same matmul
+# associativity, vectorized over a leading batch axis; pinned by
+# tests/test_batch_codec.py)
+# --------------------------------------------------------------------------- #
+
+def to_gray_batch(pixels: np.ndarray) -> np.ndarray:
+    """(m, h, w, 3) uint8 -> (m, h, w) float64 ITU-R 601 luma."""
+    p = pixels.astype(np.float64)
+    return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+
+
+def resize_area_batch(imgs: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Batched ``resize_area``: (m, h, w) -> (m, out_h, out_w)."""
+    m, h, w = imgs.shape
+    if out_h > h or out_w > w:  # upscaling: repeat-pad first (rare path)
+        imgs = np.repeat(np.repeat(imgs, -(-out_h // h), axis=1),
+                         -(-out_w // w), axis=2)
+        m, h, w = imgs.shape
+    row_idx = (np.arange(h) * out_h) // h
+    col_idx = (np.arange(w) * out_w) // w
+    row_bounds = np.searchsorted(row_idx, np.arange(out_h))
+    col_bounds = np.searchsorted(col_idx, np.arange(out_w))
+    sums = np.add.reduceat(np.add.reduceat(imgs, row_bounds, axis=1),
+                           col_bounds, axis=2)
+    rcnt = np.diff(np.append(row_bounds, h)).astype(np.float64)
+    ccnt = np.diff(np.append(col_bounds, w)).astype(np.float64)
+    cnt = rcnt[:, None] * ccnt[None, :]
+    return sums / np.maximum(cnt, 1.0)
+
+
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """Batched ``phash64``: (m, h, w, 3) uint8 -> (m,) int64."""
+    m = pixels.shape[0]
+    g = resize_area_batch(to_gray_batch(pixels), 32, 32)
+    d = _dct_matrix(32)
+    coefs = (d @ g) @ d.T  # (32,32)@(m,32,32)@(32,32): per-slice gemm
+    block = coefs[:, :8, :8].reshape(m, 64)[:, 1:]  # drop DC
+    med = np.median(block, axis=1)
+    bits = (block > med[:, None]).astype(np.uint64)
+    packed = (bits << np.arange(63, dtype=np.uint64)[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
+    return packed.view(np.int64)
+
+
+def block_features_batch(pixels: np.ndarray, grid: int = 8,
+                         levels_shift: int = 4) -> np.ndarray:
+    """Batched ``block_features``: (m, h, w, 3) uint8 -> (m, grid²) int64."""
+    g = resize_area_batch(to_gray_batch(pixels), grid, grid)
+    q = (g.astype(np.int64) >> levels_shift).clip(0, 15)
+    return q.reshape(pixels.shape[0], grid * grid)
 
 
 def block_features(pixels: np.ndarray, grid: int = 8, levels_shift: int = 4) -> np.ndarray:

@@ -116,13 +116,14 @@ def knn_recall(pred: DataFrame, truth: DataFrame) -> DataFrame:
     """Reference recall metric (nearest_neighbors_result.cpp:104-148):
     |pred ∩ truth| / (n*k) over the long-format (vec_id, neighbor_id)
     sets, returned with the correct/total counts like the reference's
-    tuple."""
+    tuple. Scale matches the reference exactly: PERCENT (the reference
+    multiplies by 100, nearest_neighbors_result.cpp:131)."""
     hits = pred.join(truth.select("vec_id", "neighbor_id"),
                      ["vec_id", "neighbor_id"], "left_semi").count()
     total = pred.count()
     spark = pred.sparkSession
     return spark.createDataFrame(
-        [(round(hits / total, 6) if total else 0.0, hits, total)],
+        [(round(100.0 * hits / total, 6) if total else 0.0, hits, total)],
         "recall double, hits long, total long")
 
 

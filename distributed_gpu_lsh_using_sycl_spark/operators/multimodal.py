@@ -43,19 +43,26 @@ _AUDIO_FEAT_SCHEMA = T.StructType([
 
 def audio_features_col():
     """Series(bytes) -> struct(fingerprint int64, rms array, zcr array).
-    Decode + window kernels run per Arrow batch in numpy."""
+    Per-blob Python work is one zlib call; dequantize + both window
+    kernels run ONCE per (fmt, n_samples) group per Arrow batch
+    (av_codec.decode_audio_grouped — loop-free decode)."""
     from distributed_gpu_lsh_using_sycl_spark.functions.av_codec import (
-        audio_features, audio_fingerprint64, decode_audio)
+        audio_features_batch, audio_fingerprint64_batch, decode_audio_grouped)
 
     @F.pandas_udf(_AUDIO_FEAT_SCHEMA)
     def udf(blobs: pd.Series) -> pd.DataFrame:
-        fps, rms, zcr = [], [], []
-        for blob in blobs:
-            samples, _, _ = decode_audio(bytes(blob))
-            fps.append(np.int64(np.uint64(audio_fingerprint64(samples))))
-            feats = audio_features(samples)
-            rms.append(feats[:, 0].tolist())
-            zcr.append(feats[:, 1].tolist())
+        n = len(blobs)
+        fps = np.zeros(n, dtype=np.int64)
+        rms: list = [None] * n
+        zcr: list = [None] * n
+        for idxs, samples in decode_audio_grouped([bytes(b) for b in blobs]):
+            # .view(np.int64): portability-safe reinterpret cast (np.int64
+            # on an out-of-range uint64 scalar raises under NumPy 2.x)
+            fps[idxs] = audio_fingerprint64_batch(samples).view(np.int64)
+            feats = audio_features_batch(samples)
+            for j, i in enumerate(idxs):
+                rms[i] = feats[j, :, 0].tolist()
+                zcr[i] = feats[j, :, 1].tolist()
         return pd.DataFrame({"fingerprint": fps, "rms": rms, "zcr": zcr})
 
     return udf
@@ -69,8 +76,15 @@ def audio_neardup_pairs(audio: DataFrame, cfg: LshConfig | None = None,
     from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
         hash_band_pairs)
 
+    import dataclasses
+
     cfg = cfg or LshConfig()
     ham = cfg.hamming_threshold if hamming_threshold is None else hamming_threshold
+    if ham != cfg.hamming_threshold:
+        # band count must be sized from the SAME threshold the verify
+        # filter uses, or the exact-recall pigeonhole guarantee silently
+        # voids for ham > cfg.hamming_threshold
+        cfg = dataclasses.replace(cfg, hamming_threshold=ham)
     sigs = (audio.select(F.col("audio_id").alias("image_id"),
                          audio_features_col()(F.col("bytes"))["fingerprint"]
                          .alias("fp"))
@@ -92,28 +106,33 @@ def audio_neardup_pairs(audio: DataFrame, cfg: LshConfig | None = None,
 
 def video_frame_hashes(video: DataFrame, every_k: int = 2) -> DataFrame:
     """(video_id, frame_idx, phash) — deterministic every-k-th frame
-    sampling + per-frame phash64, via mapInPandas (one decode walk per
-    blob per Arrow batch; the fan-out row count is data-dependent, which
-    is exactly what mapInPandas is for)."""
+    sampling + per-frame phash64, via mapInPandas (the fan-out row count
+    is data-dependent, which is exactly what mapInPandas is for). Frame
+    EXTRACTION is pure payload slicing per blob; frame DECODE + phash run
+    batched across all sampled frames of the whole Arrow batch
+    (decode_images_grouped + phash64_batch — loop-free)."""
     from distributed_gpu_lsh_using_sycl_spark.functions.av_codec import (
-        iter_frames)
+        sampled_frame_blobs)
     from distributed_gpu_lsh_using_sycl_spark.functions.image_codec import (
-        phash64)
+        decode_images_grouped, phash64_batch)
 
     out_schema = "video_id long, frame_idx int, phash long"
 
     def gen(batches):
         for pdf in batches:
-            vids, idxs, hashes = [], [], []
+            vids, idxs, frame_blobs = [], [], []
             for vid, blob in zip(pdf["video_id"], pdf["bytes"]):
-                for i, frame in enumerate(iter_frames(bytes(blob))):
-                    if i % every_k:
-                        continue
+                for i, fb in sampled_frame_blobs(bytes(blob), every_k):
                     vids.append(vid)
                     idxs.append(i)
-                    hashes.append(np.int64(np.uint64(phash64(frame))))
-            yield pd.DataFrame({"video_id": vids, "frame_idx": idxs,
-                                "phash": hashes})
+                    frame_blobs.append(fb)
+            hashes = np.zeros(len(frame_blobs), dtype=np.int64)
+            for gi, pixels in decode_images_grouped(frame_blobs):
+                hashes[gi] = phash64_batch(pixels)
+            yield pd.DataFrame({
+                "video_id": np.asarray(vids, dtype=np.int64),
+                "frame_idx": np.asarray(idxs, dtype=np.int32),
+                "phash": hashes})
 
     return (video.select("video_id", "bytes")
             .mapInPandas(gen, schema=out_schema))

@@ -110,7 +110,7 @@ def make_simhash_udf(cfg: LshConfig):
     SIMG codec stands in for jpeg/png (image_codec.py).
     """
     from distributed_gpu_lsh_using_sycl_spark.functions.image_codec import (
-        block_features, decode_image)
+        block_features_batch, decode_images_grouped)
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(blobs: pd.Series, phash: pd.Series) -> pd.Series:
@@ -124,10 +124,10 @@ def make_simhash_udf(cfg: LshConfig):
         nib_idx = np.arange(16, dtype=np.uint64)
         np.right_shift(ph[:, None], nib_idx[None, :] * np.uint64(4), out=feats[:, :16])
         np.bitwise_and(feats[:, :16], np.uint64(0xF), out=feats[:, :16])
-        # decode is per-blob (the batch shape is the real plumbing)
-        for i, blob in enumerate(blobs):
-            pixels, _ = decode_image(bytes(blob))
-            feats[i, 16:] = block_features(pixels).astype(np.uint64)
+        # decode batched per shape group: per-blob Python is one zlib
+        # call; dequantize + gray + resize + quantize are loop-free
+        for idxs, pixels in decode_images_grouped([bytes(b) for b in blobs]):
+            feats[idxs, 16:] = block_features_batch(pixels).astype(np.uint64)
         salts = np.empty(80, dtype=np.uint64)
         salts[:16] = nib_idx + np.uint64(1)
         salts[16:] = np.arange(64, dtype=np.uint64) + np.uint64(100)

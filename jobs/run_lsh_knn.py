@@ -111,10 +111,22 @@ def main(argv: list[str] | None = None) -> dict:
 
     t = time.perf_counter()
     if ns.file_parser == "1":
+        from pyspark.sql import types as T
+
         raw = spark.read.csv(ns.file, inferSchema=True)
         cols = F.array(*[F.col(c).cast("double") for c in raw.columns])
-        e = (raw.select(cols.alias(ns.vec_col))
-             .withColumn(ns.id_col, F.monotonically_increasing_id()))
+        vecs = raw.select(cols.alias(ns.vec_col))
+        # Stable 0..n-1 POSITIONAL ids (zipWithIndex follows partition
+        # order == file byte order for a single CSV), matching the
+        # reference's file-row-position ids. monotonically_increasing_id
+        # would encode partition layout — ids would shift with core count
+        # / file splits and silently misalign recall/error_ratio against
+        # a ground-truth file produced under different partitioning.
+        e = spark.createDataFrame(
+            vecs.rdd.zipWithIndex().map(lambda t: (t[1], list(t[0][0]))),
+            T.StructType([T.StructField(ns.id_col, T.LongType()),
+                          T.StructField(ns.vec_col,
+                                        T.ArrayType(T.DoubleType()))]))
     else:
         e = spark.read.parquet(ns.file)
     e = e.select(ns.id_col, ns.vec_col)

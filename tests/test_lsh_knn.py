@@ -114,5 +114,6 @@ def test_cli_end_to_end(tmp_path, spark):
         "--distances_ground_truth_file", str(tmp_path / "truth.parquet"),
         "--cores", "4",
     ])
-    assert out2["recall"]["recall"] == 1.0
+    # reference reports recall in PERCENT (nearest_neighbors_result.cpp:131)
+    assert out2["recall"]["recall"] == 100.0
     assert out2["error_ratio"]["mean_error_ratio"] == pytest.approx(1.0)
