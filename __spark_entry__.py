@@ -201,6 +201,33 @@ def q_doc_simhash_pairs(spark, sf):
 _IMG_FIXTURE_N = 2000
 _IMG_FIXTURE_SEED = 42
 
+#: fingerprint exports that make the binary-decode queries value-hash
+#: checkable: each query persists its COMPUTED fingerprints here and
+#: continues the plan from the read-back copy; the DuckDB oracle then
+#: read_parquet()s the same files and brute-forces the banding+verify /
+#: shared-frame stage over the exact values the Spark query used. The
+#: decode itself (not SQL-expressible) stays pinned by the bit-identical
+#: batch-kernel tests and planted-truth recall in pytest.
+_ORACLE_EXPORT_DIR = "/tmp/dlsh_oracle_export"
+
+
+def _export_read_back(df: DataFrame, name: str) -> DataFrame:
+    path = os.path.join(_ORACLE_EXPORT_DIR, f"{name}.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _hamming_pairs_oracle(name: str, threshold: int = 8) -> str:
+    """Brute-force (a, b, hamming) over an exported (image_id, fp)
+    parquet — the oracle twin of hash_band_pairs + popcount verify."""
+    glob = os.path.join(_ORACLE_EXPORT_DIR, f"{name}.parquet", "*.parquet")
+    return f"""
+with s as (select image_id, fp from read_parquet('{glob}'))
+select a.image_id as a, b.image_id as b,
+       (bit_count(xor(a.fp, b.fp)))::INT as hamming
+from s a join s b on a.image_id < b.image_id
+where bit_count(xor(a.fp, b.fp)) <= {threshold}"""
+
 
 def _image_fixture(spark) -> DataFrame:
     """Deterministic image+caption fixture written once to a stable
@@ -243,10 +270,15 @@ def _image_hash_pairs(spark, hash_col: str) -> DataFrame:
         sigs = _image_fixture(spark).select("image_id", "phash")
     else:
         sigs = (compute_signatures(_image_fixture(spark), cfg, with_image=True)
-                .select("image_id", "simhash", "phash")
+                .select("image_id", "simhash")
                 .localCheckpoint(eager=True))
-    cands = hash_band_pairs(sigs, hash_col, cfg, source=hash_col)
-    h = sigs.select("image_id", F.col(hash_col).alias("h"))
+    # export the computed fingerprints + continue from the read-back copy
+    # so the DuckDB oracle can value-hash the banding+verify stage
+    sigs = _export_read_back(
+        sigs.select("image_id", F.col(hash_col).alias("fp")),
+        f"image_{hash_col}_pairs")
+    cands = hash_band_pairs(sigs, "fp", cfg, source=hash_col)
+    h = sigs.select("image_id", F.col("fp").alias("h"))
     withs = (cands
              .join(h.select(F.col("image_id").alias("a"), F.col("h").alias("ha")), "a")
              .join(h.select(F.col("image_id").alias("b"), F.col("h").alias("hb")), "b"))
@@ -284,7 +316,10 @@ def q_audio_neardup_pairs(spark, sf):
 
     ids = _t(spark, sf, "documents").select("doc_id").repartition(
         spark.sparkContext.defaultParallelism)
-    return audio_neardup_pairs(synth_audio_df(ids), hamming_threshold=8)
+    return audio_neardup_pairs(
+        synth_audio_df(ids), hamming_threshold=8,
+        export_sigs_path=os.path.join(_ORACLE_EXPORT_DIR,
+                                      "audio_neardup_pairs.parquet"))
 
 
 def q_video_neardup_pairs(spark, sf):
@@ -297,7 +332,10 @@ def q_video_neardup_pairs(spark, sf):
 
     ids = _t(spark, sf, "documents").select("doc_id").repartition(
         spark.sparkContext.defaultParallelism)
-    return video_neardup_pairs(synth_video_df(ids), every_k=2)
+    return video_neardup_pairs(
+        synth_video_df(ids), every_k=2,
+        export_hashes_path=os.path.join(_ORACLE_EXPORT_DIR,
+                                        "video_neardup_pairs.parquet"))
 
 
 # --------------------------------------------------------------------------- #
@@ -918,9 +956,27 @@ def oracle_sql() -> dict[str, str]:
         ann_oracle_sql, doc_simhash_oracle_sql, entropy_oracle_sql,
         ivf_oracle_sql, lsh_knn_oracle_sql, mixed_oracle_sql, rp_oracle_sql)
 
+    video_glob = os.path.join(_ORACLE_EXPORT_DIR,
+                              "video_neardup_pairs.parquet", "*.parquet")
     return {
         "doc_simhash_pairs": doc_simhash_oracle_sql(
             k=SHINGLE_K, hamming_threshold=8),
+        # binary-decode queries: each Spark query exports its computed
+        # fingerprints (and continues from the read-back copy), so the
+        # oracle brute-forces the pair stage over the exact values used —
+        # see _ORACLE_EXPORT_DIR. The driver runs the Spark query before
+        # its oracle, so the export always exists and matches.
+        "image_simhash_pairs": _hamming_pairs_oracle("image_simhash_pairs"),
+        "image_phash_pairs": _hamming_pairs_oracle("image_phash_pairs"),
+        "audio_neardup_pairs": _hamming_pairs_oracle("audio_neardup_pairs"),
+        "video_neardup_pairs": f"""
+            with fh as (select video_id, phash from read_parquet('{video_glob}'))
+            select a.video_id as a, b.video_id as b,
+                   count(*) as shared_frames
+            from fh a join fh b
+              on a.phash = b.phash and a.video_id < b.video_id
+            group by 1, 2
+            having count(*) >= 2""",
         "dedup_exact_clusters":
             "select doc_id, min(doc_id) over (partition by text) as cluster_id "
             "from documents",

@@ -69,10 +69,17 @@ def audio_features_col():
 
 
 def audio_neardup_pairs(audio: DataFrame, cfg: LshConfig | None = None,
-                        hamming_threshold: int | None = None) -> DataFrame:
+                        hamming_threshold: int | None = None,
+                        export_sigs_path: str | None = None) -> DataFrame:
     """(a, b, hamming) audio near-dup pairs via the 64-bit energy-delta
     fingerprint + the shared banded blocking (exact recall at the
-    threshold) + popcount verify."""
+    threshold) + popcount verify.
+
+    ``export_sigs_path``: optionally persist the computed (image_id, fp)
+    fingerprints to parquet and continue the plan from the READ-BACK copy
+    — an external oracle (DuckDB in the driver's correctness gate) can
+    then brute-force the banding+verify stage over the exact values this
+    query used; the decode stays pinned by pytest."""
     from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
         hash_band_pairs)
 
@@ -89,6 +96,9 @@ def audio_neardup_pairs(audio: DataFrame, cfg: LshConfig | None = None,
                          audio_features_col()(F.col("bytes"))["fingerprint"]
                          .alias("fp"))
             .localCheckpoint(eager=True))
+    if export_sigs_path:
+        sigs.write.mode("overwrite").parquet(export_sigs_path)
+        sigs = audio.sparkSession.read.parquet(export_sigs_path)
     cands = hash_band_pairs(sigs, "fp", cfg, source="audio_fp")
     s = sigs.select("image_id", "fp")
     withs = (cands
@@ -139,16 +149,27 @@ def video_frame_hashes(video: DataFrame, every_k: int = 2) -> DataFrame:
 
 
 def video_neardup_pairs(video: DataFrame, cfg: LshConfig | None = None,
-                        every_k: int = 2, min_shared: int = 2) -> DataFrame:
+                        every_k: int = 2, min_shared: int = 2,
+                        export_hashes_path: str | None = None) -> DataFrame:
     """(a, b, shared_frames) video near-dup pairs: sampled-frame phashes
     matched EXACTLY (hamming 0 — re-encoded dups share phashes under the
     deterministic codec), pairs counted over shared frame hashes, kept at
     >= min_shared. The frame-hash equi-join shuffles on phash — the same
     bucket-join shape as every LSH stage, so salting applies if a
     degenerate frame (e.g. black) goes hot; here the groupBy count is the
-    skew release valve."""
+    skew release valve.
+
+    ``export_hashes_path``: optionally persist the (video_id, phash)
+    frame hashes and continue from the read-back copy, so an external
+    oracle can recompute the shared-frame join over the exact values (it
+    also materializes the decode once instead of once per join side)."""
     fh = video_frame_hashes(video, every_k).select(
         F.col("video_id"), F.col("phash"))
+    if export_hashes_path:
+        fh.write.mode("overwrite").parquet(export_hashes_path)
+        fh = video.sparkSession.read.parquet(export_hashes_path)
+    else:
+        fh = fh.localCheckpoint(eager=True)
     a = fh.select(F.col("video_id").alias("a"), "phash")
     b = fh.select(F.col("video_id").alias("b"), "phash")
     return (a.join(b, "phash")
