@@ -142,26 +142,24 @@ def q_dedup_substring_pairs(spark, sf):
 
 
 def q_lcs_window_pairs(spark, sf):
-    """Pairs with a common substring of length >= L. lcs(a,b) >= L is
-    EQUIVALENT to sharing one length-L character window, so the exact
-    plan is a distinct-window equi-join — entirely JVM-side (transform/
-    substr/array_distinct in whole-stage codegen, hash join on the window
-    string), zero Python. The suffix-array/rolling-hash machinery remains
-    the pipeline's candidate+verify path (operators/suffix.py), where the
-    hash join keeps the shuffle 3x narrower; this query is the exact
-    semantics stated directly."""
-    d = _t(spark, sf, "documents").filter(F.length("text") >= SUBSTR_L)
-    wins = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.length("text") - F.lit(SUBSTR_L - 1)),
-            lambda i: F.col("text").substr(i, F.lit(SUBSTR_L))))).alias("w"))
-    a = wins.select(F.col("doc_id").alias("a"), "w")
-    b = wins.select(F.col("doc_id").alias("b"), "w")
-    return (a.join(b, "w")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .distinct())
+    """Pairs with a common substring of length >= L — the PRODUCTION
+    plan: rolling window-HASH equi-join (operators/suffix.py; the shuffle
+    key is one int64 instead of a 24-char string — 3x narrower exchange),
+    candidates through the shared salted/skew-split machinery, then exact
+    ``lcs_fast`` verification which removes the (candidate-only-adding)
+    31-bit hash collisions. lcs(a,b) >= L is EQUIVALENT to sharing one
+    length-L character window, so the DuckDB window-string-join oracle is
+    unchanged and value-hash checks the whole hash+verify chain."""
+    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+    from distributed_gpu_lsh_using_sycl_spark.operators.suffix import (
+        substring_candidates, verify_substring_pairs)
+
+    cfg = LshConfig(min_substring_len=SUBSTR_L)
+    d = _t(spark, sf, "documents")
+    cands = substring_candidates(d, cfg, id_col="doc_id", text_col="text")
+    return (verify_substring_pairs(cands, d, cfg, id_col="doc_id",
+                                   text_col="text")
+            .select("a", "b"))
 
 
 def q_doc_simhash_pairs(spark, sf):
@@ -627,18 +625,22 @@ def q_lsh_knn(spark, sf, k: int = 5):
                           cfg=_parity_cfg(), vec_col="embedding")
 
 
-def q_kmeans_clusters(spark, sf, k: int = 8, n_iter: int = 2):
-    """Deterministic Lloyd's k-means (operators/kmeans) — the iterative
-    fixpoint family next to connected components. FULLY oracle-checked,
+def q_kmeans_clusters(spark, sf, k: int = 8, n_iter: int = 6):
+    """Deterministic Lloyd's k-means (operators/kmeans) at a NON-TOY
+    config: batched farthest-first init (the deterministic k-means||
+    schedule, kcenter_init) + up to 5 Lloyd updates with a
+    convergence stop (exact centroid fixpoint). FULLY oracle-checked,
     which most k-means can't be: fixed-point integer centroid sums make
     every engine's accumulation order irrelevant, so the DuckDB oracle
-    (kmeans_oracle_sql) unrolls the same iterations and must match the
-    assignment value-for-value."""
+    (kmeans_oracle_sql) unrolls the same init chain + iterations and
+    must match the assignment value-for-value — unrolled rounds past
+    the fixpoint are exact no-ops, so the early stop is oracle-safe."""
     from distributed_gpu_lsh_using_sycl_spark.operators.kmeans import (
         kmeans_assign)
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    return kmeans_assign(e, n_centroids=k, n_iter=n_iter, vec_col="embedding")
+    return kmeans_assign(e, n_centroids=k, n_iter=n_iter, vec_col="embedding",
+                         init="kcenter", init_rounds=2)
 
 
 def q_cc_clusters(spark, sf):
@@ -655,7 +657,11 @@ def q_cc_clusters(spark, sf):
     exact = q_dedup_exact_pairs(spark, sf)
     subs = q_dedup_substring_pairs(spark, sf)
     edges = exact.unionByName(subs).distinct()
-    return (assign_clusters(d, edges, id_col="doc_id")
+    # dup assignments are a few % of |V| in this workload — broadcast
+    # the CC side so the final join is a broadcast hash join over the
+    # vertex scan instead of a |V|-scale sort-merge (PLANS.md note)
+    return (assign_clusters(d, edges, id_col="doc_id",
+                            broadcast_assignments=True)
             .select(F.col("image_id").alias("doc_id"), "cluster_id"))
 
 
@@ -948,7 +954,8 @@ def _kmeans_oracle() -> str:
     from distributed_gpu_lsh_using_sycl_spark.operators.kmeans import (
         kmeans_oracle_sql)
 
-    return kmeans_oracle_sql(n_centroids=8, n_iter=2, dims=EMB_DIMS)
+    return kmeans_oracle_sql(n_centroids=8, n_iter=6, dims=EMB_DIMS,
+                             init="kcenter", init_rounds=2)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -64,6 +64,18 @@ class LshConfig:
     #: number of quantile cut-off points for the entropy-based family
     #: (options.cpp:81; only used by parity-mode hashing).
     num_cut_off_points: int = 6
+    #: cut-off learning sample rate for the entropy/mixed families.
+    #: 0.0 (default) = EXACT distributed order statistics — the parity
+    #: path, bit-identical to the reference's full odd-even sort and the
+    #: DuckDB oracle. In (0, 1) = learn cut-offs from a deterministic
+    #: hash-sample of the projections: the per-function window sort
+    #: shrinks from n rows to ~rate*n, at the cost of approximate
+    #: cut-offs (bucket agreement >= ~0.95 at rate 0.25 on clustered
+    #: data, tests/test_parity_hash.py). Crossover: the exact sort is
+    #: fine up to ~10^8 rows x pool_size on a real cluster; beyond that
+    #: the per-function sort dominates the fit stage and sampling (or
+    #: a two-pass exact selection) is the production setting.
+    cutoff_sample_rate: float = 0.0
 
     # ---- execution ----
     #: target shuffle partitions; sized so post-shuffle partitions fit in

@@ -100,10 +100,23 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
 
 def assign_clusters(vertices: DataFrame, edges: DataFrame,
-                    id_col: str = "image_id", max_iter: int = 50) -> DataFrame:
+                    id_col: str = "image_id", max_iter: int = 50,
+                    broadcast_assignments: bool | None = None) -> DataFrame:
     """Full assignment over a vertex table: component min for connected
-    nodes, self for singletons."""
+    nodes, self for singletons.
+
+    ``broadcast_assignments``: the left-join's small side is the CC
+    output (non-singleton nodes only — in a dedup workload a small
+    fraction of |V|), so broadcasting it turns a |V|-scale sort-merge
+    join into a broadcast hash join over the vertex scan. True forces
+    the hint; None (default) leaves the choice to AQE, which converts
+    to broadcast at runtime when the materialized CC side is under the
+    threshold — the safe setting when the duplicate fraction is unknown
+    (a 30%-dup 10^12-row corpus's assignment table is NOT
+    broadcastable)."""
     cc = connected_components(edges, max_iter=max_iter)
+    if broadcast_assignments:
+        cc = F.broadcast(cc)
     return (vertices.select(F.col(id_col).alias("image_id")).distinct()
             .join(cc, "image_id", "left")
             .select("image_id",

@@ -162,56 +162,83 @@ def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
 
 def knn_topk_tiled(e: DataFrame, k: int = 5, tile_target: int = 4096,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """EXACT cosine top-k without driver-side materialization of the full
-    table: the neighbor side is processed in ceil(n/tile_target) tiles;
-    each tile is collected (bounded driver memory: ONE tile), broadcast,
-    and scanned with one BLAS matmul per Arrow batch; per-tile top-k under
-    (-sim, neighbor_id) are unioned and re-ranked by a window.
+    """EXACT cosine top-k with NO driver-side data movement: the round-
+    robin block-nested-loop join (the reference's J3 shape,
+    ``knn.hpp``-style all-pairs over blocks) as one executor-side plan.
 
-    Exactness: the comparator is a TOTAL order, so any global top-k row is
-    within the top-k of its own tile — the union never loses a winner (and
-    ties at the boundary sim are broken identically everywhere, fixing the
-    truncated-argpartition tie hazard of a heuristic candidate slice).
+    Both sides are packed into fixed-size blocks (tile = pmod(id, n) —
+    one applyInPandas per side, each block one row of (ids, normalized
+    matrix) bytes); the query-block × neighbor-tile GRID is a crossJoin
+    whose every row is one bounded BLAS matmul inside a single
+    mapInPandas; per-(block, tile) top-k under (-sim, neighbor_id) are
+    re-ranked by a window. Replaces the previous driver loop of
+    O(n_tiles) collect()+broadcast rounds — no driver round-trips, no
+    serial tile schedule, same bounded per-task memory (2 blocks).
+
+    Exactness: the comparator is a TOTAL order, so any global top-k row
+    is within the top-k of its own (block, tile) cell — the union never
+    loses a winner (and ties at the boundary sim are broken identically
+    everywhere, fixing the truncated-argpartition tie hazard of a
+    heuristic candidate slice). O(n²) work by definition of exact kNN —
+    this is the oracle twin; ANN/IVF are the scale paths.
     """
-    from functools import reduce
-
     spark = e.sparkSession
     src = e.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
     n = src.count()
     n_tiles = max(1, math.ceil(n / tile_target))
     cores = spark.sparkContext.defaultParallelism
-    queries = src.repartition(cores).localCheckpoint(eager=True)
+    # finer query blocks keep the grid at >= 2 waves of tasks even when
+    # the neighbor side is a handful of tiles
+    n_qgroups = max(n_tiles, cores * 2)
+    pack_schema = "gid long, ids binary, mat binary, nrows long"
 
-    parts = []
-    for t in range(n_tiles):
-        rows = src.filter(F.pmod(F.col("vec_id"), F.lit(n_tiles)) == t).collect()
-        tids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        B = np.asarray([r["emb"] for r in rows], dtype=np.float64)
-        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-        bc = spark.sparkContext.broadcast((tids, Bn))
+    def pack(key, pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # canonical in-block layout (id asc), so
+        ids = ids[order]         # the packed tie-break rank is arange
+        m = np.asarray(pdf["emb"].tolist(), dtype=np.float64)[order]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.DataFrame({"gid": [int(key[0])], "ids": [ids.tobytes()],
+                             "mat": [mn.tobytes()], "nrows": [len(ids)]})
 
-        def tile_topk(batches, _bc=bc):
-            bids, bmat = _bc.value
-            # dense rank of each tile id: id-order tie-break packs into
-            # the key as a value bounded by the tile size, so arbitrary
-            # 64-bit ids can never overflow the packed key
-            brank = np.argsort(np.argsort(bids)).astype(np.int64)
-            for pdf in batches:
-                qids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                Q = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
-                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-                sims = np.round(Qn @ bmat.T, 6)
+    packed_t = (src.groupBy(F.pmod("vec_id", F.lit(n_tiles)).alias("gid"))
+                .applyInPandas(pack, pack_schema))
+    packed_q = (src.groupBy(F.pmod("vec_id", F.lit(n_qgroups)).alias("gid"))
+                .applyInPandas(pack, pack_schema))
+    grid = (packed_q.select(F.col("ids").alias("qids"),
+                            F.col("mat").alias("qmat"))
+            .crossJoin(packed_t.select(F.col("ids").alias("tids"),
+                                       F.col("mat").alias("tmat")))
+            .repartition(cores * 2))
+
+    def grid_topk(batches):
+        for pdf in batches:
+            outs = []
+            # per-ROW python here is per-CELL: each row is a whole
+            # block×tile matmul (~tile_target² fused ops), so the loop
+            # overhead is noise
+            for row in pdf.itertuples(index=False):
+                qids = np.frombuffer(row.qids, dtype=np.int64)
+                Qn = np.frombuffer(row.qmat, dtype=np.float64) \
+                    .reshape(len(qids), -1)
+                bids = np.frombuffer(row.tids, dtype=np.int64)
+                Bn = np.frombuffer(row.tmat, dtype=np.float64) \
+                    .reshape(len(bids), -1)
+                sims = np.round(Qn @ Bn.T, 6)
                 nk = min(k, sims.shape[1])
                 # Fully vectorized EXACT top-k under (-sim, id): sims are
                 # rounded to 6 decimals, so scaled = sims*1e6 is an exact
-                # integer in [-1e6, 1e6]; pack (scaled, -id) into one
+                # integer in [-1e6, 1e6]; pack (scaled, -rank) into one
                 # int64 key whose DESCENDING order IS the total order —
                 # argpartition on an exact integer key has no float-tie
-                # hazard and no per-row Python loop. Self-matches get a
-                # sentinel below every real key and are dropped at emit.
+                # hazard. Self-matches get a sentinel below every real
+                # key and are dropped at emit. bids are packed ascending,
+                # so the in-tile id rank is arange (bounded by tile size
+                # — arbitrary 64-bit ids can never overflow the key).
                 scaled = np.round(sims * 1e6).astype(np.int64)
                 scaled[qids[:, None] == bids[None, :]] = -(1 << 21)
-                key = scaled * (1 << 33) - brank[None, :]
+                key = scaled * (1 << 33) - np.arange(len(bids),
+                                                     dtype=np.int64)[None, :]
                 if key.shape[1] > nk:
                     idx = np.argpartition(-key, nk - 1, axis=1)[:, :nk]
                 else:
@@ -221,17 +248,17 @@ def knn_topk_tiled(e: DataFrame, k: int = 5, tile_target: int = 4096,
                                    axis=1, kind="stable")
                 sel = np.take_along_axis(idx, order, axis=1)
                 keep = np.take_along_axis(scaled, sel, axis=1) != -(1 << 21)
-                yield pd.DataFrame({
+                outs.append(pd.DataFrame({
                     "vec_id": np.repeat(qids, sel.shape[1])[keep.ravel()],
                     "neighbor_id": bids[sel].ravel()[keep.ravel()],
                     "sim": np.take_along_axis(sims, sel, axis=1)
                            .ravel()[keep.ravel()],
-                })
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
-        parts.append(queries.mapInPandas(
-            tile_topk, schema="vec_id long, neighbor_id long, sim double"))
-
-    allc = reduce(lambda x, y: x.unionAll(y), parts)
+    allc = grid.mapInPandas(
+        grid_topk, schema="vec_id long, neighbor_id long, sim double")
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (allc.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -69,6 +69,20 @@ def _arr_lit(vals) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
 
 
+def _cutoff_sample(df: DataFrame, cfg: LshConfig, seed: int) -> DataFrame:
+    """Deterministic hash-sample of the cut-off learning input
+    (cfg.cutoff_sample_rate; see config.py). Partition-count-invariant
+    (pure function of vec_id), so the sampled cut-offs — and therefore
+    every bucket — are identical at any parallelism. rate<=0 or >=1 =
+    exact path, untouched."""
+    rate = cfg.cutoff_sample_rate
+    if rate <= 0.0 or rate >= 1.0:
+        return df
+    return df.filter(
+        F.pmod(F.xxhash64("vec_id", F.lit(seed + 7919)), F.lit(1_000_000))
+        < F.lit(int(rate * 1_000_000)))
+
+
 # --------------------------------------------------------------------------- #
 # F4: entropy-based
 # --------------------------------------------------------------------------- #
@@ -101,8 +115,11 @@ def entropy_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
 
     # distributed exact order statistics at idx_c = (c+1) * (n // cops)
     # (entropy_based.cpp:103-107); rn is 1-based so the filter is on rn-1.
+    # With cutoff_sample_rate set, the SAME order-statistic pick runs over
+    # a deterministic sample (cut-offs approximate, sort ~rate*n rows).
+    sort_src = _cutoff_sample(proj, cfg, seed)
     wp = W.partitionBy("p").orderBy("proj")
-    ranked = proj.select(
+    ranked = sort_src.select(
         "p", "proj", F.row_number().over(wp).alias("rn"),
         F.count("*").over(W.partitionBy("p")).alias("n"))
     jump = (F.col("n") / F.lit(cops)).cast("long")
@@ -199,8 +216,11 @@ def mixed_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
     # cut-off indices with remainder distribution (mixed_hash_functions.
     # cpp:160-166): idx_c = c*jump + min(c, rem), c in 1..cops-1; a rank
     # matches iff one of the two congruence branches hits (c <= rem vs >).
+    # cutoff_sample_rate: same pick over a deterministic sample (see
+    # _cutoff_sample; exact parity path when 0).
+    sort_src = _cutoff_sample(vals, cfg, seed)
     wt = W.partitionBy("t").orderBy("value", "vec_id")
-    ranked = vals.select(
+    ranked = sort_src.select(
         "t", "value", (F.row_number().over(wt) - 1).alias("i"),
         F.count("*").over(W.partitionBy("t")).alias("n"))
     jump = (F.col("n") / F.lit(cops)).cast("long")

@@ -48,3 +48,44 @@ def test_planted_blobs_recovered(spark):
     got = {r["vec_id"]: r["cluster"] for r in
            kmeans_assign(df, n_centroids=3, n_iter=3).collect()}
     assert all(got[i] == truth[i] for i in got), "blob structure not recovered"
+
+
+def test_kcenter_init_and_converge_stop(spark):
+    """Non-toy path: batched farthest-first init matches the unrolled
+    DuckDB init chain at depth, and the convergence stop is a true
+    fixpoint — asking for MORE iterations than convergence needs yields
+    the exact same assignment (so a fixed-depth oracle >= the stop point
+    always matches)."""
+    # oracle first: the deep Spark loop leaves many shuffle-file fds
+    # open and can push DuckDB's parquet open over the ulimit
+    con = duckdb.connect()
+    con.execute(f"create view embeddings as select * from "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    dims = len(con.execute("select embedding from embeddings limit 1"
+                           ).fetchone()[0])
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        kmeans_oracle_sql(n_centroids=5, n_iter=8, dims=dims,
+                          init="kcenter", init_rounds=2)).fetchall()}
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    b = {r["vec_id"]: (r["cluster"], r["dist"]) for r in
+         kmeans_assign(e, n_centroids=5, n_iter=8, vec_col="embedding",
+                       init="kcenter", init_rounds=2).collect()}
+    assert b == want
+    assert len({c for c, _ in b.values()}) > 1
+    # convergence stop is a true fixpoint: on well-separated blobs Lloyd
+    # converges in a couple of updates, so asking for far more
+    # iterations must return the identical assignment (the loop breaks
+    # at the exact centroid fixpoint instead of iterating on)
+    rng = np.random.Generator(np.random.PCG64(5))
+    centers = np.array([[3.0, 0, 0, 0], [0, 3.0, 0, 0], [0, 0, 3.0, 0]])
+    pts = centers[np.arange(60) % 3] + rng.standard_normal((60, 4)) * 0.05
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(60), "v": pts.tolist()}))
+    short = {r["vec_id"]: (r["cluster"], r["dist"]) for r in
+             kmeans_assign(df, n_centroids=3, n_iter=4,
+                           init="kcenter").collect()}
+    long = {r["vec_id"]: (r["cluster"], r["dist"]) for r in
+            kmeans_assign(df, n_centroids=3, n_iter=25,
+                          init="kcenter").collect()}
+    assert short == long

@@ -145,3 +145,36 @@ def test_hyperplane_buckets_df_equals_seqdot_numpy(spark, pts):
     for i in range(len(pts)):
         for t in range(n_tables):
             assert got[(i, t)] == int(want[i, t]), (i, t)
+
+
+def test_sampled_cutoffs_agree_with_exact(spark):
+    """Production cut-off learning (cutoff_sample_rate in (0,1)): the
+    per-function sort runs over a deterministic ~rate*n sample, cut-offs
+    become approximate. The honest accuracy metric is PER-FUNCTION hash
+    agreement (a k-function band bucket flips if ANY of its k hash counts
+    flips — the fold amplifies per-function error as ~(1-eps)^k, and the
+    quantile error itself shrinks as 1/sqrt(rate*n), so tiny-fixture
+    full-band agreement understates production accuracy). Measured via
+    rows_per_band=1 configs, where bucket <-> single hash count:
+    agreement >= 0.9 at rate=0.5 on a 2000-point fixture. rate=0 stays
+    the exact parity path (pinned by the tests above); the sampled path
+    is itself deterministic across re-runs."""
+    import dataclasses
+
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        entropy_buckets_df, mixed_buckets_df)
+
+    rng = np.random.Generator(np.random.PCG64(123))
+    pts = rng.standard_normal((2000, 16))
+    for fn, kw in ((entropy_buckets_df, {}), (mixed_buckets_df, {"w": 0.7})):
+        cfg = LshConfig(num_bands=8, rows_per_band=1, signature_pool_size=8,
+                        num_cut_off_points=6, **kw)
+        exact = _collect_buckets(fn(_df(spark, pts), cfg, 7))
+        scfg = dataclasses.replace(cfg, cutoff_sample_rate=0.5)
+        sampled = _collect_buckets(fn(_df(spark, pts), scfg, 7))
+        assert sampled.keys() == exact.keys()
+        agree = sum(1 for k in exact if sampled[k] == exact[k]) / len(exact)
+        assert agree >= 0.90, (fn.__name__, agree)
+        # determinism of the sampled path itself
+        again = _collect_buckets(fn(_df(spark, pts), scfg, 7))
+        assert again == sampled
