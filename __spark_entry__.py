@@ -491,7 +491,8 @@ def q_ann_lsh_topk(spark, sf, k: int = 5):
 
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return ann_topk_lsh(e, k=k, n_tables=8, bits=6, seed=11, jvm_fold=True)
+    return ann_topk_lsh(e, k=k, n_tables=8, bits=6, seed=11, jvm_fold=True,
+                        dims=EMB_DIMS)
 
 
 def q_embedding_neardup_lsh_pairs(spark, sf):
@@ -513,7 +514,8 @@ def q_embedding_neardup_lsh_pairs(spark, sf):
 
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return neardup_pairs_lsh(e, tau=NEARDUP_COS, n_bands=96, bits=5, seed=7)
+    return neardup_pairs_lsh(e, tau=NEARDUP_COS, n_bands=96, bits=5, seed=7,
+                             dims=EMB_DIMS)
 
 
 def q_ivf_topk(spark, sf, k: int = 5):
@@ -567,7 +569,7 @@ def q_entropy_lsh_buckets(spark, sf):
         entropy_buckets_df)
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    return entropy_buckets_df(e, _parity_cfg(), ENTROPY_SEED,
+    return entropy_buckets_df(e, _parity_cfg(), ENTROPY_SEED, dims=EMB_DIMS,
                               vec_col="embedding")
 
 
@@ -579,7 +581,8 @@ def q_mixed_lsh_buckets(spark, sf):
         mixed_buckets_df)
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    return mixed_buckets_df(e, _parity_cfg(), MIXED_SEED, vec_col="embedding")
+    return mixed_buckets_df(e, _parity_cfg(), MIXED_SEED, vec_col="embedding",
+                            dims=EMB_DIMS)
 
 
 def _parity_cfg():
@@ -603,7 +606,7 @@ def q_rp_parity_buckets(spark, sf):
 
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return rp_buckets_df(e, _parity_cfg())
+    return rp_buckets_df(e, _parity_cfg(), dims=EMB_DIMS)
 
 
 def q_lsh_knn(spark, sf, k: int = 5):
@@ -621,7 +624,7 @@ def q_lsh_knn(spark, sf, k: int = 5):
         lsh_kneighbors)
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    return lsh_kneighbors(e, k, family="random_projections",
+    return lsh_kneighbors(e, k, family="random_projections", dims=EMB_DIMS,
                           cfg=_parity_cfg(), vec_col="embedding")
 
 
@@ -663,6 +666,55 @@ def q_cc_clusters(spark, sf):
     return (assign_clusters(d, edges, id_col="doc_id",
                             broadcast_assignments=True)
             .select(F.col("image_id").alias("doc_id"), "cluster_id"))
+
+
+def q_streaming_dedup_clusters(spark, sf):
+    """END-TO-END STRUCTURED STREAMING dedup, value-hash checked: the
+    full chain — incremental signature ingest (readStream + streaming
+    checkpoint) → stateful (band,bucket)-keyed incremental bucket join
+    (applyInPandasWithState) → batch verify+CC reconcile — run as TWO
+    availableNow waves (even doc_ids land first, odd second) over the
+    documents table (streaming/e2e.py). The DuckDB oracle recomputes the
+    SAME semantics non-streamed: brute-force Jaccard>=tau pairs +
+    recursive-CTE connected components — so the streaming chain's
+    convergence-to-batch contract gets the hard driver signal, not just
+    pytest. Each run starts from a clean warehouse (deterministic row).
+
+    CC runs over the stream's string ids (lexicographic min); the
+    output re-canonicalizes each component to its NUMERIC min id, which
+    is representation-independent."""
+    import shutil
+
+    from distributed_gpu_lsh_using_sycl_spark.streaming.e2e import (
+        streaming_dedup_cycle)
+
+    base = os.path.join("/tmp/dlsh_stream_e2e",
+                        os.path.basename(sf.rstrip("/")))
+    shutil.rmtree(base, ignore_errors=True)
+    inp = os.path.join(base, "in")
+    wh = os.path.join(base, "wh")
+    os.makedirs(inp, exist_ok=True)
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.col("text").alias("caption"),
+        F.lit(None).cast("long").alias("phash"))
+    cfg = _dedup_cfg()
+    d.filter(F.col("image_id").cast("long") % 2 == 0) \
+        .write.mode("overwrite").parquet(os.path.join(inp, "w1"))
+    streaming_dedup_cycle(spark, inp + "/*", wh, cfg)
+    d.filter(F.col("image_id").cast("long") % 2 == 1) \
+        .write.mode("overwrite").parquet(os.path.join(inp, "w2"))
+    res = streaming_dedup_cycle(spark, inp + "/*", wh, cfg)
+    c = res["clusters"]
+    canon = c.groupBy("cluster_id").agg(
+        F.min(F.col("image_id").cast("long")).alias("canon"))
+    return (c.join(canon, "cluster_id")
+            .select(F.col("image_id").cast("long").alias("doc_id"),
+                    F.col("canon").alias("cluster_id")))
 
 
 # --------------------------------------------------------------------------- #
@@ -857,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_topk": q_token_freq_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "cc_clusters": q_cc_clusters,
+        "streaming_dedup_clusters": q_streaming_dedup_clusters,
         "image_simhash_pairs": q_image_simhash_pairs,
         "image_phash_pairs": q_image_phash_pairs,
         "audio_neardup_pairs": q_audio_neardup_pairs,
@@ -1062,6 +1115,22 @@ def oracle_sql() -> dict[str, str]:
                       and (contains(a.text, b.text) or contains(b.text, a.text))),
             e as (select a as u, b as v from ex union select b, a from ex
                   union select a as u, b as v from sub union select b, a from sub),
+            walk(id, r) as (
+              select doc_id, doc_id from documents
+              union
+              select w.id, e.v from walk w join e on e.u = w.r
+            )
+            select id as doc_id, min(r) as cluster_id from walk group by id""",
+        "streaming_dedup_clusters": f"""
+            with recursive {_TOKS_CTE}, {_SHINGLES_CTE},
+            jp as (select a.doc_id as a, b.doc_id as b
+                   from sh a join sh b on a.doc_id < b.doc_id
+                   where len(a.s) + len(b.s) > 0
+                     and round(cast(len(list_intersect(a.s, b.s)) as double)
+                         / (len(a.s) + len(b.s)
+                            - len(list_intersect(a.s, b.s))), 6)
+                         >= {JACCARD_TAU}),
+            e as (select a as u, b as v from jp union select b, a from jp),
             walk(id, r) as (
               select doc_id, doc_id from documents
               union

@@ -228,21 +228,26 @@ def run_scaling(max_extra_pairs: int = 2, target: float = 0.8,
 
 
 def _ceiling_worker(args):
-    """Pure decode+feature loop, no Spark — one process, pinned."""
+    """Pure decode+feature kernel, no Spark — one process, pinned. Uses
+    the SAME batched decode+features path as the production UDF
+    (decode_images_grouped + block_features_batch, 256-blob batches), so
+    the measured ceiling is the host's limit on the kernel the stage
+    actually runs."""
     seed, n, ncpu = args
     os.sched_setaffinity(0, range(ncpu))
     import numpy as np
 
     from distributed_gpu_lsh_using_sycl_spark.functions.image_codec import (
-        block_features, decode_image, encode_image)
+        block_features_batch, decode_images_grouped, encode_image)
 
     rng = np.random.Generator(np.random.PCG64(seed))
     blob = encode_image(
         rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8), "jpeg")
+    batch = [blob] * 256
     t0 = time.perf_counter()
-    for _ in range(n):
-        px, _ = decode_image(blob)
-        block_features(px)
+    for _ in range(0, n, 256):
+        for _, px in decode_images_grouped(batch):
+            block_features_batch(px)
     return time.perf_counter() - t0
 
 

@@ -57,10 +57,12 @@ def hyperplane_planes(seed: int, n_planes: int, dims: int) -> np.ndarray:
 
 
 def hyperplane_bands(e: DataFrame, n_bands: int, bits: int, seed: int,
-                     id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "v",
+                     dims: int | None = None) -> DataFrame:
     """(id, vec) -> exploded (image_id, band_id, bucket): n_bands tables of
     ``bits`` sign bits each. One Arrow-batched matmul per batch."""
-    dims = len(e.select(vec_col).head()[0])
+    if dims is None:  # probe fallback — callers that know the width pass it
+        dims = len(e.select(vec_col).head()[0])
     planes = hyperplane_planes(seed, n_bands * bits, dims)
     weights = (1 << np.arange(bits)).astype(np.int64)
 
@@ -78,7 +80,8 @@ def hyperplane_bands(e: DataFrame, n_bands: int, bits: int, seed: int,
 
 def neardup_pairs_lsh(e: DataFrame, tau: float, cfg: LshConfig | None = None,
                       n_bands: int = 32, bits: int = 6, seed: int = 7,
-                      id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "v",
+                      dims: int | None = None) -> DataFrame:
     """Scale path for cosine near-dup pairs: banded hyperplane LSH
     candidates (salted) + exact cosine verify, (a, b, sim) with sim
     rounded to 6 and filtered on the ROUNDED value (oracle contract).
@@ -95,7 +98,7 @@ def neardup_pairs_lsh(e: DataFrame, tau: float, cfg: LshConfig | None = None,
     en = with_norm(e.select(F.col(id_col).alias("vec_id"),
                             F.col(vec_col).alias("v")),
                    "v").localCheckpoint(eager=True)
-    bands = hyperplane_bands(en, n_bands, bits, seed)
+    bands = hyperplane_bands(en, n_bands, bits, seed, dims=dims)
     cands = candidate_pairs_from_bands(bands, cfg, source="hyperplane")
     va = en.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
                    F.col("norm").alias("na"))
@@ -111,7 +114,7 @@ def neardup_pairs_lsh(e: DataFrame, tau: float, cfg: LshConfig | None = None,
 def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
                  seed: int = 11, cfg: LshConfig | None = None,
                  id_col: str = "vec_id", vec_col: str = "v",
-                 jvm_fold: bool = False) -> DataFrame:
+                 jvm_fold: bool = False, dims: int | None = None) -> DataFrame:
     """Approximate cosine top-k: L sign-bit hash tables (OR-construction,
     the reference's L-table probe, hash_tables.hpp:566-578), salted bucket
     join, exact re-rank of the candidate union.
@@ -135,9 +138,9 @@ def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
         from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
             hyperplane_buckets_df)
 
-        bands = hyperplane_buckets_df(en, n_tables, bits, seed)
+        bands = hyperplane_buckets_df(en, n_tables, bits, seed, dims=dims)
     else:
-        bands = hyperplane_bands(en, n_tables, bits, seed)
+        bands = hyperplane_bands(en, n_tables, bits, seed, dims=dims)
     # bands feeds bucket stats AND the salted self-join; the pair set
     # feeds BOTH directions of the union — materialize each once or the
     # projection/join subtree executes 2-4x (visible as exchange

@@ -31,7 +31,7 @@ FAMILIES = ("random_projections", "entropy_based", "mixed")
 
 def family_buckets(e: DataFrame, family: str, cfg: LshConfig,
                    seed: int | None = None, id_col: str = "vec_id",
-                   vec_col: str = "v") -> DataFrame:
+                   vec_col: str = "v", dims: int | None = None) -> DataFrame:
     """Runtime family dispatch (hash_function_types.hpp:22-29;
     nearest_neighbors.cpp:44-58) -> (vec_id, band_id, bucket)."""
     from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
@@ -39,11 +39,14 @@ def family_buckets(e: DataFrame, family: str, cfg: LshConfig,
 
     seed = cfg.seed if seed is None else seed
     if family in ("random_projections", "0"):
-        return rp_buckets_df(e, cfg, id_col=id_col, vec_col=vec_col)
+        return rp_buckets_df(e, cfg, id_col=id_col, vec_col=vec_col,
+                             dims=dims)
     if family in ("entropy_based", "1"):
-        return entropy_buckets_df(e, cfg, seed, id_col=id_col, vec_col=vec_col)
+        return entropy_buckets_df(e, cfg, seed, id_col=id_col,
+                                  vec_col=vec_col, dims=dims)
     if family in ("mixed", "2"):
-        return mixed_buckets_df(e, cfg, seed, id_col=id_col, vec_col=vec_col)
+        return mixed_buckets_df(e, cfg, seed, id_col=id_col,
+                                vec_col=vec_col, dims=dims)
     raise ValueError(
         f"unknown hash_function family {family!r}; expected one of "
         f"{FAMILIES} (or the reference's enum values 0/1/2)")
@@ -58,7 +61,8 @@ def _dsq(a, b):
 
 def lsh_kneighbors(e: DataFrame, k: int, family: str = "random_projections",
                    cfg: LshConfig | None = None, seed: int | None = None,
-                   id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "v",
+                   dims: int | None = None) -> DataFrame:
     """(id, vec) -> (vec_id, rank, neighbor_id, dist_sq), k rows per input
     point, rank 1-based by (squared L2 asc, neighbor id asc).
 
@@ -81,7 +85,8 @@ def lsh_kneighbors(e: DataFrame, k: int, family: str = "random_projections",
     # pair set feeds both directions of the union — materialize each once
     # (without this the hash-chain subtree executes 2-4x; audit shows the
     # exchange count collapse in PLANS.md)
-    buckets = family_buckets(src, family, cfg, seed).localCheckpoint(eager=True)
+    buckets = family_buckets(src, family, cfg, seed, dims=dims) \
+        .localCheckpoint(eager=True)
     bands = buckets.select(F.col("vec_id").alias("image_id"),
                            "band_id", "bucket")
     und = candidate_pairs_from_bands(bands, cfg, source=f"knn_{family}") \

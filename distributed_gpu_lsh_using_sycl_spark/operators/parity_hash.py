@@ -88,7 +88,8 @@ def _cutoff_sample(df: DataFrame, cfg: LshConfig, seed: int) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 def entropy_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
-                       id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+                       id_col: str = "vec_id", vec_col: str = "v",
+                       dims: int | None = None) -> DataFrame:
     """(id, vec) -> (vec_id, band_id, bucket) under the entropy-based
     family. Stages: broadcast pool crossJoin -> fold projections ->
     window-ranked order statistics (cut-offs) -> entropy hash counts ->
@@ -96,7 +97,10 @@ def entropy_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
     spark = e.sparkSession
     src = e.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    dims = len(src.select("v").head()[0])
+    if dims is None:  # fallback probe: one driver job; callers that
+        # know the width (LshConfig-scale pipelines) pass it to avoid
+        # N extra jobs per pipeline construction
+        dims = len(src.select("v").head()[0])
     pool, sel = H.entropy_params(seed, cfg.signature_pool_size, dims,
                                  cfg.num_bands, cfg.rows_per_band)
     cops = cfg.num_cut_off_points
@@ -186,7 +190,8 @@ from folded"""
 # --------------------------------------------------------------------------- #
 
 def mixed_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
-                     id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "v",
+                     dims: int | None = None) -> DataFrame:
     """(id, vec) -> (vec_id, band_id, bucket) under the mixed family:
     per-table sum of truncated projections, learned per-table cut-offs
     (remainder-distributed indices), count-of-exceeded as the hash, modulo
@@ -194,7 +199,10 @@ def mixed_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
     spark = e.sparkSession
     src = e.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    dims = len(src.select("v").head()[0])
+    if dims is None:  # fallback probe: one driver job; callers that
+        # know the width (LshConfig-scale pipelines) pass it to avoid
+        # N extra jobs per pipeline construction
+        dims = len(src.select("v").head()[0])
     pool, sel = H.mixed_params(seed, cfg.signature_pool_size, dims, cfg.w,
                                cfg.num_bands, cfg.rows_per_band)
     cops = cfg.num_cut_off_points
@@ -303,7 +311,8 @@ def _affine01(col):
 
 
 def rp_buckets_df(e: DataFrame, cfg: LshConfig,
-                  id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "v",
+                  dims: int | None = None) -> DataFrame:
     """Random-projections bucket assignment (random_projections.hpp:72-85
     chain) as JVM built-ins only: fold-dot projections, floor-quantize,
     u32-wrap, hash_combine fold from rows_per_band, mod bucket_modulus.
@@ -315,7 +324,10 @@ def rp_buckets_df(e: DataFrame, cfg: LshConfig,
     spark = e.sparkSession
     src = e.select(F.col(id_col).alias("vec_id"),
                    _affine01(F.col(vec_col).cast("array<double>")).alias("v"))
-    dims = len(src.select("v").head()[0])
+    if dims is None:  # fallback probe: one driver job; callers that
+        # know the width (LshConfig-scale pipelines) pass it to avoid
+        # N extra jobs per pipeline construction
+        dims = len(src.select("v").head()[0])
     funcs_df = rp_funcs_df(spark, cfg, dims)
     # h = a.x + b >= 0 (|N| coeffs, [0,1] data, b in [0,w)) so floor ==
     # the C++ float->uint truncation; mask == u32 wrap.
@@ -425,15 +437,18 @@ def hyperplane_funcs_df(spark, n_tables: int, bits: int, seed: int, dims: int):
 
 
 def hyperplane_buckets_df(e: DataFrame, n_tables: int, bits: int, seed: int,
-                          id_col: str = "vec_id",
-                          vec_col: str = "v") -> DataFrame:
+                          id_col: str = "vec_id", vec_col: str = "v",
+                          dims: int | None = None) -> DataFrame:
     """(id, vec) -> (image_id, band_id, bucket): sign-bit buckets with
     SEQUENTIAL fold-dot projections — bit-identical to the DuckDB oracle
     (ann_oracle_sql), drop-in for embedding.hyperplane_bands."""
     spark = e.sparkSession
     src = e.select(F.col(id_col).alias("image_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    dims = len(src.select("v").head()[0])
+    if dims is None:  # fallback probe: one driver job; callers that
+        # know the width (LshConfig-scale pipelines) pass it to avoid
+        # N extra jobs per pipeline construction
+        dims = len(src.select("v").head()[0])
     funcs_df = hyperplane_funcs_df(spark, n_tables, bits, seed, dims)
     bit = (src.crossJoin(F.broadcast(funcs_df))
            .select("image_id", "t",

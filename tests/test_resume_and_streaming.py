@@ -145,3 +145,43 @@ def test_stateful_incremental_candidates(spark, images_df, tmp_path_factory):
     # once per (band,bucket): no duplicate emissions under replay-safe state
     keyed = [(r["a"], r["b"], r["band_id"], r["bucket"]) for r in got_rows]
     assert len(keyed) == len(set(keyed))
+
+
+def test_streaming_e2e_dedup_equals_batch(spark, tmp_path_factory):
+    """Full streaming chain: incremental signature ingest → stateful
+    bucket join → batch verify+CC reconcile, over TWO input waves. After
+    each cycle the cluster table must equal a from-scratch batch dedup
+    over everything seen so far, and the second cycle must be truly
+    incremental (signature count grows only by the new wave)."""
+    from distributed_gpu_lsh_using_sycl_spark.streaming.e2e import (
+        batch_dedup_reference, streaming_dedup_cycle)
+
+    base = tmp_path_factory.mktemp("e2e_stream")
+    inp = str(base / "in")
+    wh = str(base / "wh")
+    os.makedirs(inp)
+
+    images, _ = make_fixture_pandas(80, seed=42)
+    wave1, wave2 = images.iloc[:50], images.iloc[50:]
+
+    def clusters_of(df):
+        return {r["image_id"]: r["cluster_id"] for r in df.collect()}
+
+    spark.createDataFrame(wave1).write.mode("overwrite") \
+        .parquet(os.path.join(inp, "w1"))
+    r1 = streaming_dedup_cycle(spark, inp + "/*", wh, CFG)
+    assert r1["n_signatures"] == 50
+    want1 = clusters_of(batch_dedup_reference(
+        spark, spark.createDataFrame(wave1), CFG))
+    assert clusters_of(r1["clusters"]) == want1
+
+    spark.createDataFrame(wave2).write.mode("overwrite") \
+        .parquet(os.path.join(inp, "w2"))
+    r2 = streaming_dedup_cycle(spark, inp + "/*", wh, CFG)
+    assert r2["n_signatures"] == 80
+    want2 = clusters_of(batch_dedup_reference(
+        spark, spark.createDataFrame(images), CFG))
+    assert clusters_of(r2["clusters"]) == want2
+    # the fixture plants dups -> the equality is not vacuous
+    joined = sum(1 for k, v in want2.items() if k != v)
+    assert joined > 0
