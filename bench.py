@@ -289,6 +289,7 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
              "knn_block_matmul_topk", "ann_lsh_topk", "ivf_topk", "lsh_knn",
              "embedding_neardup_lsh_pairs",
              "entropy_lsh_buckets", "mixed_lsh_buckets", "image_phash_pairs",
+             "kmeans_clusters", "streaming_dedup_clusters",
              "q1_pricing_summary", "revenue_by_nation",
              "topk_per_group", "sessionization", "windowed_events"]
     qs = E.queries()

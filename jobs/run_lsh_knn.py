@@ -12,9 +12,14 @@ text), so a reference user can re-run their exact invocation:
         --indices_ground_truth_file truth.parquet
 
 Differences, by design (Spark-first, SURVEY §2.10):
-- ``file_parser``: 0 = parquet (the binary-scan analog), 1 = headerless
-  numeric CSV (the arff analog — the reference's arff parser is itself
-  unimplemented, arff_parser.hpp:44).
+- ``file_parser 0`` (the reference's "binary") reads the reference's
+  OWN .bin format (header [type_size, total, dims] + row-major floats,
+  binary_parser.hpp:126-236 — sources/binary_format.py, distributed
+  ranged reads, positional ids) when the path is a regular file, and
+  parquet when the path is a parquet file/dir — so both a reference
+  user's existing data files and the engine's stage tables load;
+  ``file_parser 1`` = headerless numeric CSV (the arff analog — the
+  reference's arff parser is itself unimplemented, arff_parser.hpp:44).
 - saves are long-format parquet tables (vec_id, rank, neighbor_id,
   dist_sq), not raw matrices; ground-truth files use the same shape.
 - ``work_group_size`` is accepted for invocation parity but ignored — a
@@ -27,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -59,7 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("knn", type=int, help="the number of nearest-neighbors "
                    "to calculate")
     p.add_argument("--file_parser", default="0", choices=["0", "1"],
-                   help="0: parquet (binary analog), 1: csv (arff analog)")
+                   help="0: binary (the reference's .bin format for a "
+                        "regular file; parquet for a table path), "
+                        "1: csv (arff analog)")
     p.add_argument("--hash_function", default="0",
                    help="0/random_projections, 1/entropy_based, 2/mixed")
     p.add_argument("--hash_pool_size", type=int, default=32)
@@ -127,6 +135,14 @@ def main(argv: list[str] | None = None) -> dict:
             T.StructType([T.StructField(ns.id_col, T.LongType()),
                           T.StructField(ns.vec_col,
                                         T.ArrayType(T.DoubleType()))]))
+    elif (os.path.isfile(ns.file)
+          and not ns.file.endswith(".parquet")):
+        # the reference's own binary vector format (binary_parser.hpp)
+        from distributed_gpu_lsh_using_sycl_spark.sources.binary_format import (
+            read_binary_vectors)
+
+        e = read_binary_vectors(spark, ns.file, id_col=ns.id_col,
+                                vec_col=ns.vec_col)
     else:
         e = spark.read.parquet(ns.file)
     e = e.select(ns.id_col, ns.vec_col)
