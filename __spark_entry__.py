@@ -531,6 +531,23 @@ def q_ivf_topk(spark, sf, k: int = 5):
     return ivf_topk(e, k=k, n_centroids=16, nprobe=4)
 
 
+def q_ivfpq_topk(spark, sf, k: int = 5):
+    """IVF-PQ approximate L2 top-k: coarse inverted-file probe + product-
+    quantization ADC ranking (embedding.ivfpq_topk) — the compressed-
+    domain ANN path (candidate shuffles carry 8 code ids per vector, not
+    64 doubles). Deterministic coarse + codebook structure (smallest-id
+    rows) and fixed-point-micros ADC sums make the whole thing
+    SQL-recomputable: the oracle (parity_hash.ivfpq_oracle_sql) rebuilds
+    codebooks, codes, probe sets and ADC ranking from scratch."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        ivfpq_topk)
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return ivfpq_topk(e, k=k, n_centroids=16, nprobe=4, n_sub=8, ks=16,
+                      dims=EMB_DIMS)
+
+
 def q_ann_recall(spark, sf, k: int = 5):
     """Scalar recall of the multi-table LSH ANN vs the brute-force top-k —
     the reference's own quality metric (% correct vs brute ground truth,
@@ -921,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
         "lsh_knn": q_lsh_knn,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1014,7 +1032,8 @@ def _kmeans_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
         ann_oracle_sql, doc_simhash_oracle_sql, entropy_oracle_sql,
-        ivf_oracle_sql, lsh_knn_oracle_sql, mixed_oracle_sql, rp_oracle_sql)
+        ivf_oracle_sql, ivfpq_oracle_sql, lsh_knn_oracle_sql,
+        mixed_oracle_sql, rp_oracle_sql)
 
     video_glob = os.path.join(_ORACLE_EXPORT_DIR,
                               "video_neardup_pairs.parquet", "*.parquet")
@@ -1152,6 +1171,8 @@ def oracle_sql() -> dict[str, str]:
                                        dims=EMB_DIMS, k=5),
         "ivf_topk": ivf_oracle_sql(dims=EMB_DIMS, k=5, n_centroids=16,
                                    nprobe=4),
+        "ivfpq_topk": ivfpq_oracle_sql(dims=EMB_DIMS, k=5, n_centroids=16,
+                                       nprobe=4, n_sub=8, ks=16),
         "ann_recall": f"""
             with b as (select vec_id, neighbor_id from ({_KNN_SQL}) t),
                  a as (select vec_id, neighbor_id from (

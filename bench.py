@@ -58,9 +58,19 @@ RECORD_PATH = os.path.join(REPO, "BENCH", "steady_state.json")
 def _load_record() -> dict:
     try:
         with open(RECORD_PATH) as f:
-            return json.load(f)
+            rec = json.load(f)
     except (OSError, ValueError):
-        return {"queries": {}, "stage": {}}
+        return {"queries": {}, "stage_by_n": {}}
+    # migrate pre-r3 layout: one flat "stage" dict for a single n_images ->
+    # per-input-size records so a larger-input scaling run (a second
+    # strong-scaling point, like the reference's largest-input runs) does
+    # not wipe the default-size record
+    if "stage" in rec and "stage_by_n" not in rec:
+        n = str(rec.get("n_images", N_IMAGES))
+        rec["stage_by_n"] = {n: rec.pop("stage")}
+        rec.pop("n_images", None)
+    rec.setdefault("stage_by_n", {})
+    return rec
 
 
 def _save_record(rec: dict) -> None:
@@ -164,7 +174,7 @@ def _run_worker_subprocess(cores: int, passes: int = 4) -> dict:
 
 
 def run_scaling(max_extra_pairs: int = 2, target: float = 0.8,
-                budget_s: float = 5400.0) -> dict:
+                budget_s: float = 5400.0, two_core: bool = True) -> dict:
     """Interleaved A/B rounds: 8, 32, 8, 32 — each its own pinned JVM.
 
     The headline efficiency uses the per-parallelism STEADY STATE (min
@@ -215,16 +225,20 @@ def run_scaling(max_extra_pairs: int = 2, target: float = 0.8,
     # the CODE's distributed overhead, not the VM's DRAM roof. A 0-1
     # pinned JVM also dodges host bursts best, so this pair is the least
     # noise-contaminated of all.
-    rounds.append(_run_worker_subprocess(2))
-    order.append(2)
-    best2 = rounds[-1]
-    eff_2_8 = (best[8]["images_per_sec"] / best2["images_per_sec"]) / 4.0
-    return {"n_images": rounds[0]["n_images"], "order": list(order),
-            "rounds": rounds, "w2": best2, "w8": best[8], "w32": best[32],
-            "paired_efficiencies": pair_effs, "retry_pairs": extra,
-            "efficiency": round(eff, 3),
-            "efficiency_2_8": round(eff_2_8, 3),
-            "host_ceiling": host_parallel_ceiling()}
+    out = {"n_images": rounds[0]["n_images"], "w8": best[8], "w32": best[32],
+           "paired_efficiencies": pair_effs, "retry_pairs": extra,
+           "efficiency": round(eff, 3),
+           "host_ceiling": host_parallel_ceiling()}
+    if two_core:
+        rounds.append(_run_worker_subprocess(2))
+        order.append(2)
+        best2 = rounds[-1]
+        out["w2"] = best2
+        out["efficiency_2_8"] = round(
+            (best[8]["images_per_sec"] / best2["images_per_sec"]) / 4.0, 3)
+    out["order"] = list(order)
+    out["rounds"] = rounds
+    return out
 
 
 def _ceiling_worker(args):
@@ -251,7 +265,7 @@ def _ceiling_worker(args):
     return time.perf_counter() - t0
 
 
-def host_parallel_ceiling(per_proc: int = 3000) -> dict:
+def host_parallel_ceiling(per_proc: int = 12000) -> dict:
     """CONTROL EXPERIMENT: the box's own embarrassingly-parallel scaling
     ceiling, measured with plain multiprocessing (no Spark, no shuffle,
     no Arrow) running the same decode+feature kernel weak-scaled at 8 and
@@ -277,6 +291,10 @@ def host_parallel_ceiling(per_proc: int = 3000) -> dict:
                 best[procs] = min(best[procs], time.perf_counter() - t0)
     out = {f"ips{p}": round(p * per_proc / best[p], 0) for p in (8, 32)}
     out["ceiling_efficiency"] = round((out["ips32"] / out["ips8"]) / 4.0, 3)
+    # raw best walls so the caller can min-fold the control into the
+    # steady-state record with the same estimator as the stage itself
+    out["secs"] = {"8": round(best[8], 3), "32": round(best[32], 3)}
+    out["per_proc"] = per_proc
     return out
 
 
@@ -390,10 +408,19 @@ def write_bench_md(scaling: dict, folded: dict, times: dict, sf_dir: str) -> Non
         f"{scaling.get('host_ceiling', {}).get('ips32', '—')} img/s @32 procs "
         f"→ the box's own embarrassingly-parallel 8→32 efficiency is "
         f"**{scaling.get('host_ceiling', {}).get('ceiling_efficiency', '—')}** "
+        f"this window, "
+        f"**{scaling.get('host_ceiling', {}).get('record_efficiency', '—')}** "
+        f"min-folded across windows (the same estimator as the stage record) "
         "(shared memory subsystem / hypervisor on one socket). The stage "
         "number above should be read against this ceiling: on a real N→4N "
         "EXECUTOR scale-out each node brings its own memory system and the "
         "ceiling does not apply.",
+        "",
+        f"Strong-scaling sweep across input sizes (steady-state records; "
+        f"efficiency rises with work per core, as in the reference's "
+        f"largest-input scaling runs): "
+        + ", ".join(f"{int(n) // 1000}k images → {e:.3f}"
+                    for n, e in (scaling.get("efficiency_by_n") or {}).items()),
         "",
         f"## Headline query times at {sf_dir} (local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])",
         "",
@@ -412,6 +439,10 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=4)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--scaling-only", action="store_true")
+    # skip the (2,8) evidence pair: used with DLSH_BENCH_IMAGES for the
+    # large-input strong-scaling point, where a 2-core round costs ~15 min
+    # and the (8,32) pair is the number being sharpened
+    ap.add_argument("--skip-2core", action="store_true")
     args = ap.parse_args()
 
     if args.stage_worker:
@@ -426,7 +457,7 @@ def main() -> None:
     scaling = None
     if not args.skip_scaling:
         ensure_fixture(cpus)
-        scaling = run_scaling()
+        scaling = run_scaling(two_core=not args.skip_2core)
 
     # ---- min-fold this run into the persistent steady-state record ----
     rec = _load_record()
@@ -438,24 +469,45 @@ def main() -> None:
     rec["queries"].update(folded)
 
     if scaling:
-        if rec.get("n_images") != scaling["n_images"]:
-            rec["stage"] = {}
-            rec["n_images"] = scaling["n_images"]
+        stage = rec["stage_by_n"].setdefault(str(scaling["n_images"]), {})
         for c in (2, 8, 32):
             if f"w{c}" not in scaling:
                 continue
             this = scaling[f"w{c}"]["secs"]
-            rec["stage"][str(c)] = round(
-                min(this, rec["stage"].get(str(c), this)), 2)
-        eff_rec = (rec["stage"]["8"] / rec["stage"]["32"]) / 4.0
+            stage[str(c)] = round(min(this, stage.get(str(c), this)), 2)
+        eff_rec = (stage["8"] / stage["32"]) / 4.0
         scaling["efficiency_this_run"] = scaling["efficiency"]
         scaling["efficiency"] = round(eff_rec, 3)
-        if "2" in rec["stage"]:
+        if "2" in stage:
             scaling["efficiency_2_8_this_run"] = scaling.get("efficiency_2_8")
             scaling["efficiency_2_8"] = round(
-                (rec["stage"]["2"] / rec["stage"]["8"]) / 4.0, 3)
-        scaling["record_secs"] = {c: rec["stage"][c]
-                                  for c in ("2", "8", "32") if c in rec["stage"]}
+                (stage["2"] / stage["8"]) / 4.0, 3)
+        scaling["record_secs"] = {c: stage[c]
+                                  for c in ("2", "8", "32") if c in stage}
+        # fold the no-Spark control into the record with the SAME
+        # min-across-windows estimator as the stage, so the "vs ceiling"
+        # reading compares two quiet-steady-state numbers rather than a
+        # multi-window stage record against one window's control
+        hc = scaling.get("host_ceiling", {})
+        if hc.get("secs"):
+            ceil = rec.setdefault("ceiling", {})
+            if ceil.get("per_proc") != hc["per_proc"]:
+                ceil.clear()
+                ceil["per_proc"] = hc["per_proc"]
+            for c in ("8", "32"):
+                this = hc["secs"][c]
+                ceil[c] = round(min(this, ceil.get(c, this)), 3)
+            # the control is WEAK-scaled (fixed work per process), so
+            # perfect scaling means equal walls: efficiency = t8/t32,
+            # NOT the strong-scaling (t8/t32)/4
+            hc["record_efficiency"] = round(ceil["8"] / ceil["32"], 3)
+        # strong-scaling sweep: record efficiency at every input size
+        # measured so far (efficiency rises with work per core — the
+        # reference's own scaling runs use its largest inputs)
+        scaling["efficiency_by_n"] = {
+            n: round((s["8"] / s["32"]) / 4.0, 3)
+            for n, s in sorted(rec["stage_by_n"].items(), key=lambda kv: int(kv[0]))
+            if "8" in s and "32" in s}
     _save_record(rec)
     if scaling:
         write_bench_md(scaling, folded, times, sf_dir)
@@ -485,14 +537,17 @@ def main() -> None:
             "efficiency": scaling["efficiency"],
             "efficiency_this_run": scaling.get("efficiency_this_run"),
             "efficiency_2_8": scaling.get("efficiency_2_8"),
+            "efficiency_by_n": scaling.get("efficiency_by_n"),
             "paired_efficiencies": scaling.get("paired_efficiencies"),
-            "host_ceiling_efficiency": hc.get("ceiling_efficiency"),
+            "host_ceiling_efficiency": hc.get(
+                "record_efficiency", hc.get("ceiling_efficiency")),
             "record_secs": scaling.get("record_secs"),
             "retry_pairs": scaling.get("retry_pairs"),
         }
-        if hc.get("ceiling_efficiency"):
+        ceil_eff = hc.get("record_efficiency", hc.get("ceiling_efficiency"))
+        if ceil_eff:
             out["scaling"]["eff_vs_ceiling"] = round(
-                scaling["efficiency"] / hc["ceiling_efficiency"], 3)
+                scaling["efficiency"] / ceil_eff, 3)
         with open(os.path.join(REPO, "BENCH", "RUN_LATEST.json"), "w") as f:
             json.dump(scaling, f, indent=1)
     line = json.dumps(out)

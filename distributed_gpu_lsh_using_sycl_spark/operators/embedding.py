@@ -268,6 +268,106 @@ def knn_topk_tiled(e: DataFrame, k: int = 5, tile_target: int = 4096,
             .select("vec_id", "neighbor_id", "rank", "sim"))
 
 
+def diff_sq_col(a, b):
+    """Sequential-fold squared L2 distance of two array<double> columns
+    (JVM, same FP order as DuckDB list_reduce / hashing.seqdot)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda s, x: s + x)
+
+
+def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
+               nprobe: int = 4, n_sub: int = 8, ks: int = 16,
+               id_col: str = "vec_id", vec_col: str = "v",
+               dims: int = 64) -> DataFrame:
+    """IVF-PQ approximate L2 top-k: coarse inverted-file probe +
+    product-quantization ADC ranking — the compressed-domain scale path
+    next to IVF-flat (ivf_topk) and hyperplane LSH (ann_topk_lsh),
+    completing the reference's multi-probe search surface
+    (hash_tables.hpp:388-494) with the FAISS-style code path.
+
+    Structure (all deterministic, so the DuckDB oracle recomputes it
+    end-to-end — parity_hash.ivfpq_oracle_sql):
+    - coarse quantizer: the ``n_centroids`` smallest-id vectors; every
+      vector lands in the cell of its nearest centroid under sequential-
+      fold squared L2 in fixed-point micros (centroid-rank tie-break);
+      queries probe their ``nprobe`` nearest cells.
+    - PQ codebook: dims split into ``n_sub`` subspaces; per subspace the
+      ``ks`` smallest-id subvectors are the codes. Each vector encodes to
+      ``n_sub`` code ids (argmin sub-distance, code-rank tie-break).
+    - ADC: a query's distance table (sub-distance to every code of every
+      subspace, micros) is summed over the candidate's codes — an exact
+      integer sum, so ranking is order-independent and cross-engine
+      reproducible; rank by (adc asc, neighbor_id asc).
+
+    Scale shape: sub-distances are one broadcast crossJoin (n x
+    n_sub*ks rows, no shuffle); the candidate join ships ``n_sub`` small
+    codes per vector instead of ``dims`` doubles (8 bytes vs 512 at the
+    default config — the point of PQ at 100 TB: the shuffled payload is
+    the compressed representation); the ADC join co-partitions the
+    distance table and candidates on the query id. Cells are
+    ~n/n_centroids and n_centroids grows as sqrt(n), as in ivf_topk.
+    """
+    assert dims % n_sub == 0, "dims must split evenly into subspaces"
+    sub = dims // n_sub
+    en = (e.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+          .localCheckpoint(eager=True))
+    wc = W.orderBy("vec_id")
+    cents = (en.orderBy("vec_id").limit(max(n_centroids, ks))
+             .withColumn("crank", F.row_number().over(wc) - 1)
+             .select("crank", F.col("v").alias("cv"))
+             .localCheckpoint(eager=True))  # tiny; also silences the
+    # single-partition-window plan inside the reused broadcast subtree
+
+    # ---- coarse cells: nearest of n_centroids under fold-L2 micros ----
+    ckey = (F.round(diff_sq_col(F.col("v"), F.col("cv")) * 1e6, 0)
+            .cast("long") * n_centroids + F.col("crank"))
+    csd = (en.crossJoin(F.broadcast(cents.filter(F.col("crank") < n_centroids)))
+           .select("vec_id", ckey.alias("key")))
+    wq = W.partitionBy("vec_id").orderBy("key")
+    cranked = (csd.withColumn("rn", F.row_number().over(wq))
+               .withColumn("cell", F.col("key") % n_centroids))
+    assign = cranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("x"), "cell")
+    probes = cranked.filter(F.col("rn") <= nprobe).select(
+        F.col("vec_id").alias("q"), "cell")
+    cand = (probes.join(assign, "cell")
+            .filter(F.col("q") != F.col("x"))
+            .select("q", "x").distinct())
+
+    # ---- PQ sub-distances (vector x subspace x code), micros ----
+    subs = F.broadcast(
+        cents.filter(F.col("crank") < ks)
+        .crossJoin(en.sparkSession.range(n_sub).select(
+            F.col("id").cast("int").alias("sub_m")))
+        .select(F.col("crank").alias("c"), "sub_m",
+                F.slice("cv", F.col("sub_m") * sub + 1, sub).alias("scv")))
+    sdi = (F.round(diff_sq_col(F.slice("v", F.col("sub_m") * sub + 1, sub),
+                               F.col("scv")) * 1e6, 0).cast("long"))
+    subd = (en.crossJoin(subs)
+            .select("vec_id", "sub_m", "c", sdi.alias("sdi"))
+            .localCheckpoint(eager=True))  # feeds codes AND dtable
+    codes = (subd.groupBy("vec_id", "sub_m")
+             .agg((F.min(F.col("sdi") * ks + F.col("c")) % ks).alias("code"))
+             .select(F.col("vec_id").alias("xid"), "sub_m", "code"))
+    dtable = subd.select(F.col("vec_id").alias("qid"),
+                         F.col("sub_m").alias("qm"), "c", "sdi")
+
+    # ---- ADC: sum the query's table over the candidate's codes ----
+    adc = (cand.join(codes, F.col("x") == F.col("xid"))
+           .join(dtable, [F.col("q") == F.col("qid"),
+                          F.col("sub_m") == F.col("qm"),
+                          F.col("code") == F.col("c")])
+           .groupBy("q", "x")
+           .agg(F.sum("sdi").alias("adci")))
+    w = W.partitionBy("q").orderBy(F.col("adci").asc(), F.col("x").asc())
+    return (adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q").alias("vec_id"), F.col("x").alias("neighbor_id"),
+                    "rank",
+                    (F.col("adci").cast("double") / 1e6).alias("adc_dist")))
+
+
 def ivf_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "v") -> DataFrame:

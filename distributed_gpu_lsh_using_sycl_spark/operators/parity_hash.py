@@ -562,6 +562,72 @@ select vec_id, neighbor_id, rank, sim from (
   from sims) where rank <= {k}"""
 
 
+def _sql_fold_diff(a: str, b: str, n: int, off: str = "0") -> str:
+    """Sequential-fold squared L2 distance of two DOUBLE[] expressions
+    over ``n`` dims starting after offset ``off`` (a SQL expression) —
+    same FP order as Spark's embedding.diff_sq_col."""
+    return (f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+            f"range(1, {n + 1}), i -> ({a}[{off}+i] - {b}[{off}+i]) * "
+            f"({a}[{off}+i] - {b}[{off}+i]))), (acc, x) -> acc + x)")
+
+
+def ivfpq_oracle_sql(dims: int, k: int = 5, n_centroids: int = 16,
+                     nprobe: int = 4, n_sub: int = 8, ks: int = 16,
+                     table: str = "embeddings", id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    """DuckDB SQL recomputing the ENTIRE IVF-PQ structure of
+    embedding.ivfpq_topk: deterministic coarse centroids + PQ codebooks
+    (smallest-id rows), fixed-point-micros sub-distances (identical
+    sequential fold), argmin codes with rank tie-break, integer ADC sums,
+    (adc asc, id asc) ranking. CTEs are materialized — DuckDB re-inlines
+    deep chains exponentially otherwise."""
+    sub = dims // n_sub
+    cfold = _sql_fold_diff("v.v", "c.cv", dims)
+    sfold = _sql_fold_diff("v.v", "s.scv", sub, off="s.sub_m*" + str(sub))
+    return f"""
+with vec as materialized (
+  select {id_col} as vec_id, list_transform({vec_col}, x -> x::DOUBLE) as v
+  from {table}),
+cents as materialized (
+  select row_number() over (order by vec_id) - 1 as crank, v as cv
+  from (select * from vec order by vec_id limit {max(n_centroids, ks)})),
+csd as materialized (
+  select v.vec_id,
+    cast(round({cfold} * 1000000) as bigint) * {n_centroids} + c.crank as key
+  from vec v cross join (select * from cents where crank < {n_centroids}) c),
+cranked as materialized (
+  select vec_id, key % {n_centroids} as cell,
+    row_number() over (partition by vec_id order by key) as rn
+  from csd),
+cand as materialized (
+  select distinct p.vec_id as q, a.vec_id as x
+  from (select vec_id, cell from cranked where rn <= {nprobe}) p
+  join (select vec_id, cell from cranked where rn = 1) a using (cell)
+  where p.vec_id <> a.vec_id),
+subs as materialized (
+  select c.crank as c, m.sub_m, c.cv as scv
+  from (select * from cents where crank < {ks}) c
+  cross join (select unnest(range(0, {n_sub})) as sub_m) m),
+subd as materialized (
+  select v.vec_id, s.sub_m, s.c,
+    cast(round({sfold} * 1000000) as bigint) as sdi
+  from vec v cross join subs s),
+codes as materialized (
+  select vec_id as xid, sub_m, min(sdi * {ks} + c) % {ks} as code
+  from subd group by vec_id, sub_m),
+adc as materialized (
+  select cd.q, cd.x, sum(d.sdi) as adci
+  from cand cd
+  join codes co on co.xid = cd.x
+  join subd d on d.vec_id = cd.q and d.sub_m = co.sub_m and d.c = co.code
+  group by cd.q, cd.x)
+select q as vec_id, x as neighbor_id, rank, adc_dist from (
+  select q, x, row_number() over (partition by q order by adci, x)::INTEGER
+           as rank,
+         (adci::DOUBLE) / 1000000 as adc_dist
+  from adc) where rank <= {k}"""
+
+
 # --------------------------------------------------------------------------- #
 # Text SimHash — cross-engine chain (JVM columns == DuckDB SQL, bit-exact)
 # --------------------------------------------------------------------------- #
