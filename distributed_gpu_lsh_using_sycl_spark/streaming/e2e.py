@@ -58,7 +58,8 @@ def _reconcile(spark: SparkSession, sigs: DataFrame,
 def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
                           warehouse: str, cfg: LshConfig | None = None,
                           with_image: bool = False,
-                          timeout_s: int = 600) -> dict:
+                          timeout_s: int = 600,
+                          state_partitions: int | None = None) -> dict:
     """One incremental dedup cycle over ``input_dir`` (a parquet dir that
     accumulates input files between cycles). Returns
     ``{"clusters": DataFrame, "n_signatures": int, "n_candidates": int}``
@@ -76,10 +77,26 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
                          os.path.join(warehouse, "ckpt_sigs"), cfg,
                          with_image=with_image, available_now=True)
     q.awaitTermination(timeout_s)
-    q = candidate_pair_stream(spark, sigs_dir, pairs_dir,
-                              os.path.join(warehouse, "ckpt_pairs"), cfg,
-                              available_now=True)
-    q.awaitTermination(timeout_s)
+    # The stateful join's state-store partition count is captured from
+    # spark.sql.shuffle.partitions at the query's FIRST start and pinned
+    # in the checkpoint; this knob overrides it for the candidate stream
+    # only. Leave None to inherit the session: an interleaved A/B at
+    # sf0.1/local[32] measured FEWER partitions strictly slower (best 36s
+    # at 32 vs 69s at 8) — the stateful stage is bound by the Python emit
+    # over (band,bucket) groups, not by store-commit overhead, so
+    # shrinking partitions just forfeits task parallelism. Size it DOWN
+    # only when state volume per partition, not compute, is the binding
+    # constraint (huge deployments with small per-batch deltas).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(state_partitions or prev))
+    try:
+        q = candidate_pair_stream(spark, sigs_dir, pairs_dir,
+                                  os.path.join(warehouse, "ckpt_pairs"), cfg,
+                                  available_now=True)
+        q.awaitTermination(timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     sigs = spark.read.parquet(sigs_dir)
     try:
