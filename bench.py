@@ -304,7 +304,8 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
     spark = _spark(cores)
     picks = ["dedup_minhash_lsh_pairs", "dedup_substring_pairs", "lcs_window_pairs",
              "doc_simhash_pairs", "cc_clusters", "lang_id", "token_counts",
-             "knn_block_matmul_topk", "ann_lsh_topk", "ivf_topk", "lsh_knn",
+             "knn_block_matmul_topk", "ann_lsh_topk", "ivf_topk",
+             "ivfpq_topk", "lsh_knn",
              "embedding_neardup_lsh_pairs",
              "entropy_lsh_buckets", "mixed_lsh_buckets", "image_phash_pairs",
              "kmeans_clusters", "streaming_dedup_clusters",
