@@ -722,7 +722,7 @@ def q_streaming_dedup_clusters(spark, sf):
     cfg = _dedup_cfg()
     d.filter(F.col("image_id").cast("long") % 2 == 0) \
         .write.mode("overwrite").parquet(os.path.join(inp, "w1"))
-    streaming_dedup_cycle(spark, inp + "/*", wh, cfg)
+    streaming_dedup_cycle(spark, inp + "/*", wh, cfg, reconcile=False)
     d.filter(F.col("image_id").cast("long") % 2 == 1) \
         .write.mode("overwrite").parquet(os.path.join(inp, "w2"))
     res = streaming_dedup_cycle(spark, inp + "/*", wh, cfg)

@@ -59,11 +59,20 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
                           warehouse: str, cfg: LshConfig | None = None,
                           with_image: bool = False,
                           timeout_s: int = 600,
-                          state_partitions: int | None = None) -> dict:
+                          state_partitions: int | None = None,
+                          reconcile: bool = True) -> dict:
     """One incremental dedup cycle over ``input_dir`` (a parquet dir that
     accumulates input files between cycles). Returns
     ``{"clusters": DataFrame, "n_signatures": int, "n_candidates": int}``
-    — clusters is also written to ``<warehouse>/clusters``."""
+    — clusters is also written to ``<warehouse>/clusters``.
+
+    ``reconcile=False`` drains stages 1+2 only (signatures + candidate
+    state advance; clusters table left as-is, returned as None). A
+    scheduler ingesting many small waves between reads runs drain-only
+    cycles and reconciles once per read window: CC is a global fixpoint
+    over ACCUMULATED edges, so the final reconcile alone produces the
+    same clusters as reconciling every wave (asserted in
+    tests/test_resume_and_streaming.py)."""
     from distributed_gpu_lsh_using_sycl_spark.streaming.ingest import (
         signature_stream)
     from distributed_gpu_lsh_using_sycl_spark.streaming.stateful import (
@@ -103,6 +112,10 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
         cands = spark.read.parquet(pairs_dir).select("a", "b")
     except Exception:  # no candidate ever emitted yet -> all singletons
         cands = spark.createDataFrame([], "a string, b string")
+    if not reconcile:
+        return {"clusters": None,
+                "n_signatures": sigs.count(),
+                "n_candidates": cands.count()}
     clusters = _reconcile(spark, sigs, cands, cfg)
     out_dir = os.path.join(warehouse, "clusters")
     clusters.write.mode("overwrite").parquet(out_dir)
