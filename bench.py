@@ -462,8 +462,12 @@ def main() -> None:
 
     # ---- min-fold this run into the persistent steady-state record ----
     rec = _load_record()
-    if rec.get("sf") != sf_dir:        # record is per-input; reset on change
-        rec = {"sf": sf_dir, "queries": {}, "stage": {}}
+    if rec.get("sf") != sf_dir:        # query records are per-sf; reset on
+        # change — but the stage/ceiling records are keyed by fixture size
+        # (independent of sf), so they persist across the reset
+        rec = {"sf": sf_dir, "queries": {},
+               "stage_by_n": rec.get("stage_by_n", {}),
+               "ceiling": rec.get("ceiling", {})}
     folded = {}
     for k, v in times.items():
         folded[k] = round(min(v, rec["queries"].get(k, v)), 2)
@@ -539,6 +543,12 @@ def main() -> None:
             "efficiency_this_run": scaling.get("efficiency_this_run"),
             "efficiency_2_8": scaling.get("efficiency_2_8"),
             "efficiency_by_n": scaling.get("efficiency_by_n"),
+            # headline at the LARGEST measured input — the reference's own
+            # strong-scaling runs use its largest inputs (README.md:27-28)
+            "efficiency_largest_n": (max(
+                ((int(n), e) for n, e in
+                 (scaling.get("efficiency_by_n") or {}).items()),
+                default=(None, None))[1]),
             "paired_efficiencies": scaling.get("paired_efficiencies"),
             "host_ceiling_efficiency": hc.get(
                 "record_efficiency", hc.get("ceiling_efficiency")),

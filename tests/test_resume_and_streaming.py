@@ -185,3 +185,40 @@ def test_streaming_e2e_dedup_equals_batch(spark, tmp_path_factory):
     # the fixture plants dups -> the equality is not vacuous
     joined = sum(1 for k, v in want2.items() if k != v)
     assert joined > 0
+
+
+def test_streaming_drain_only_then_reconcile_equals_batch(
+        spark, tmp_path_factory):
+    """Drain-only cycles (reconcile=False) advance signature + candidate
+    state without the batch verify+CC pass; one final reconciling cycle
+    must still produce exactly the from-scratch batch clusters — CC is a
+    fixpoint over ACCUMULATED edges, so skipping intermediate reconciles
+    loses nothing (the scheduler regime: many small ingest waves, one
+    reconcile per read window)."""
+    from distributed_gpu_lsh_using_sycl_spark.streaming.e2e import (
+        batch_dedup_reference, streaming_dedup_cycle)
+
+    base = tmp_path_factory.mktemp("drain_only")
+    inp = str(base / "in")
+    wh = str(base / "wh")
+    os.makedirs(inp)
+
+    images, _ = make_fixture_pandas(80, seed=42)
+    waves = [images.iloc[:30], images.iloc[30:60], images.iloc[60:]]
+    for i, w in enumerate(waves[:-1]):
+        spark.createDataFrame(w).write.mode("overwrite") \
+            .parquet(os.path.join(inp, f"w{i}"))
+        r = streaming_dedup_cycle(spark, inp + "/*", wh, CFG,
+                                  reconcile=False)
+        assert r["clusters"] is None        # no reconcile ran
+    spark.createDataFrame(waves[-1]).write.mode("overwrite") \
+        .parquet(os.path.join(inp, "w_last"))
+    r = streaming_dedup_cycle(spark, inp + "/*", wh, CFG)
+    assert r["n_signatures"] == 80
+    want = {row["image_id"]: row["cluster_id"]
+            for row in batch_dedup_reference(
+                spark, spark.createDataFrame(images), CFG).collect()}
+    got = {row["image_id"]: row["cluster_id"]
+           for row in r["clusters"].collect()}
+    assert got == want
+    assert sum(1 for k, v in want.items() if k != v) > 0
