@@ -16,8 +16,12 @@ State discipline at 10^12-image scale (the part that matters):
   boilerplate bucket would otherwise grow state AND emit O(n²) pairs
   forever); the drop is counted in the emitted rows' ``dropped`` column
   of the companion stats stream, never silent;
-- keys are (band_id, bucket) — the same shuffle key as batch banding, so
-  state is spread across executors exactly like the batch shuffle;
+- keys are (band_id, bucket % state_group_buckets) — bucket-congruent
+  packing of the batch-banding shuffle key, so state still spreads
+  across executors like the batch shuffle while per-key overhead is
+  amortized over many (mostly singleton) buckets; exact per-bucket keys
+  via state_group_buckets <= 0 when per-key state VOLUME is the binding
+  constraint instead (see config.py);
 - no event-time: bucket membership never expires (a dup is a dup however
   late it arrives), so NoTimeout state — eviction is by the size cap.
 
@@ -42,30 +46,56 @@ _OUT_SCHEMA = T.StructType([
     T.StructField("band_id", T.IntegerType(), False),
     T.StructField("bucket", T.LongType(), False),
 ])
+# One state row per COARSE key (band_id, bucket % state_group_buckets):
+# a parallel-array bucket -> members table covering every bucket that
+# hashes into the key. Exact (band, bucket) keying (state_group_buckets
+# <= 0) is the degenerate one-bucket-per-key case of the same layout.
 _STATE_SCHEMA = T.StructType([
-    T.StructField("members", T.ArrayType(T.StringType()), True),
+    T.StructField("buckets", T.ArrayType(T.LongType()), True),
+    T.StructField("members", T.ArrayType(T.ArrayType(T.StringType())), True),
 ])
 
 
 def _make_emit(cap: int):
     def emit(key: Any, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        band_id, bucket = int(key[0]), int(key[1])
-        members: list[str] = list(state.get[0]) if state.exists else []
-        seen = set(members)
-        rows: list[tuple[str, str, int, int]] = []
+        if state.exists:
+            st_buckets, st_members = state.get
+            table: dict[int, list[str]] = {
+                int(b): list(m) for b, m in zip(st_buckets, st_members)}
+        else:
+            table = {}
+        grew = False
+        rows: list[tuple[str, str, int]] = []
         for pdf in pdfs:
-            for iid in pdf["image_id"].astype(str):
-                if iid in seen:
-                    continue  # re-observation (replay / duplicate file)
-                if cap > 0 and len(seen) >= cap:
-                    continue  # degenerate bucket: stop admitting members
-                for m in members:
-                    lo, hi = (iid, m) if iid < m else (m, iid)
-                    rows.append((lo, hi, band_id, bucket))
-                members.append(iid)
-                seen.add(iid)
-        state.update((members,))
-        yield pd.DataFrame(rows, columns=["a", "b", "band_id", "bucket"])
+            # one Python dispatch covers every bucket in the coarse key;
+            # sort=False keeps arrival order within each bucket
+            for bucket, sub in pdf.groupby("bucket", sort=False):
+                bucket = int(bucket)
+                members = table.get(bucket)
+                if members is None:
+                    members = table[bucket] = []
+                seen = set(members)
+                for iid in sub["image_id"].tolist():
+                    if iid in seen:
+                        continue  # re-observation (replay / duplicate file)
+                    if cap > 0 and len(seen) >= cap:
+                        continue  # degenerate bucket: stop admitting
+                    for m in members:
+                        rows.append((iid, m, bucket) if iid < m
+                                    else (m, iid, bucket))
+                    members.append(iid)
+                    seen.add(iid)
+                    grew = True
+        # Most buckets are singletons: most drains admit members but emit
+        # no pair. Skip the no-op state write and the empty-frame yield —
+        # a pandas DataFrame construction per pair-less group dominated
+        # this stage's runtime when keys were per-bucket.
+        if grew:
+            state.update((list(table.keys()), list(table.values())))
+        if rows:
+            frame = pd.DataFrame(rows, columns=["a", "b", "bucket"])
+            frame["band_id"] = int(key[0])
+            yield frame[["a", "b", "band_id", "bucket"]]
 
     return emit
 
@@ -75,10 +105,21 @@ def incremental_candidates(bands_stream: DataFrame,
     """Streaming (image_id, band_id, bucket) -> streaming candidate pairs
     (a, b, band_id, bucket), each unordered pair emitted once per bucket
     across the whole stream's lifetime. Downstream: `.dropDuplicates(
-    ["a","b"])` per micro-batch or batch-side distinct, then verify."""
+    ["a","b"])` per micro-batch or batch-side distinct, then verify.
+
+    State keys are coarsened by ``cfg.state_group_buckets`` (see
+    config.py): per-key overhead — state-store get/commit, Arrow group
+    framing, the Python call — dominated this stage when ~every
+    (band, bucket) key was a singleton, so buckets are packed
+    ``state_group_buckets``-to-a-band-key and the emit walks the packed
+    table. Per-bucket admission/pair semantics are unchanged."""
     cfg = cfg or LshConfig()
+    g = cfg.state_group_buckets
+    key = (F.pmod(F.col("bucket"), F.lit(int(g))).alias("bucket_grp")
+           if g and g > 0 else F.col("bucket").alias("bucket_grp"))
     return (bands_stream
-            .groupBy("band_id", "bucket")
+            .select("image_id", "band_id", "bucket", key)
+            .groupBy("band_id", "bucket_grp")
             .applyInPandasWithState(
                 _make_emit(cfg.max_bucket_size),
                 outputStructType=_OUT_SCHEMA,
