@@ -19,6 +19,9 @@ oracle SQL in __spark_entry__.py) — change all three together.
 
 from __future__ import annotations
 
+import re
+import zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -61,6 +64,51 @@ def shingle_crc_col(text: Column, k: int) -> Column:
     return F.transform(shingles_col(text, k), lambda s: F.crc32(F.encode(s, "utf-8")))
 
 
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python re's \s is
+# Unicode-aware — spell the class out so the Python twin splits exactly
+# where F.split does. Likewise F.trim strips 0x20 ONLY (probed: it keeps
+# \t/\n), hence .strip(" ") below, not .strip().
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def shingle_crcs_py(caption: str, k: int) -> list[int]:
+    """Exact Python twin of ``shingle_crc_col`` (tokens -> distinct word
+    k-shingles -> CRC-32), used by the blob-scan fast path so signatures
+    computed executor-side in Python match the JVM chain bit for bit
+    (parity pinned in tests/test_blob_scan.py)."""
+    toks = [t for t in _JAVA_WS.split(caption.strip(" ").lower()) if t]
+    n = len(toks)
+    if n == 0:
+        return []
+    if n < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(n - k + 1)]
+    seen: set[str] = set()
+    out: list[int] = []
+    for s in grams:
+        if s not in seen:
+            seen.add(s)
+            out.append(zlib.crc32(s.encode("utf-8")))
+    return out
+
+
+def minhash_buckets_batch(crc_arrays: list[np.ndarray], cfg: LshConfig,
+                          a: np.ndarray, b: np.ndarray):
+    """Shared MinHash + band-bucket batch kernel: list of uint64 shingle
+    CRC arrays -> (list of int64 signatures, list of bucket lists with
+    None for shingle-less rows). Used by the pandas UDF and blob_scan."""
+    sigs = H.minhash_signatures(crc_arrays, a, b)
+    buckets = H.band_buckets(sigs, cfg.num_bands, cfg.rows_per_band,
+                             cfg.bucket_modulus)
+    sig_list = sigs.view(np.int64).tolist()
+    bucket_list: list = buckets.tolist()
+    for i, arr in enumerate(crc_arrays):
+        if len(arr) == 0:
+            bucket_list[i] = None
+    return sig_list, bucket_list
+
+
 # --------------------------------------------------------------------------- #
 # MinHash + band buckets (vectorized pandas UDF)
 # --------------------------------------------------------------------------- #
@@ -79,19 +127,12 @@ def make_minhash_udf(cfg: LshConfig):
     NOT reproduced — SURVEY §1.5; empty docs become singleton clusters).
     """
     a, b = H.minhash_params(cfg.seed, cfg.signature_len, cfg.signature_pool_size)
-    num_bands, rows_per_band, modulus = cfg.num_bands, cfg.rows_per_band, cfg.bucket_modulus
 
     @F.pandas_udf(_MINHASH_SCHEMA)
     def minhash_udf(crcs: pd.Series) -> pd.DataFrame:
         arrays = [np.asarray(x, dtype=np.int64).view(np.uint64) if x is not None and len(x)
                   else np.zeros(0, dtype=np.uint64) for x in crcs]
-        sigs = H.minhash_signatures(arrays, a, b)
-        buckets = H.band_buckets(sigs, num_bands, rows_per_band, modulus)
-        empty = np.fromiter((len(x) == 0 for x in arrays), dtype=bool, count=len(arrays))
-        sig_list = sigs.view(np.int64).tolist()
-        bucket_list: list = buckets.tolist()
-        for i in np.flatnonzero(empty):
-            bucket_list[i] = None
+        sig_list, bucket_list = minhash_buckets_batch(arrays, cfg, a, b)
         return pd.DataFrame({"minhash": sig_list, "buckets": bucket_list})
 
     return minhash_udf
@@ -101,47 +142,58 @@ def make_minhash_udf(cfg: LshConfig):
 # Image SimHash (vectorized pandas UDF over bytes + phash)
 # --------------------------------------------------------------------------- #
 
-def make_simhash_udf(cfg: LshConfig):
-    """Series(bytes), Series(phash int64) -> int64 simhash.
+def simhash_batch(blobs: list[bytes], ph: np.ndarray) -> np.ndarray:
+    """One batch of (decoded blobs + phash uint64) -> int64 simhash array.
 
     Features per image: 16 phash nibbles (position-salted) + 64 quantized
-    decoded-pixel block means (position-salted). The decode runs once per
-    Arrow batch inside numpy — the batch shape is the real plumbing; the
-    SIMG codec stands in for jpeg/png (image_codec.py).
+    decoded-pixel block means (position-salted). Shared by the pandas UDF
+    and the blob-scan fast path (sources/blob_scan.py) so both compute
+    bit-identical signatures.
     """
     from distributed_gpu_lsh_using_sycl_spark.functions.image_codec import (
         block_features_batch, decode_images_grouped)
 
+    n = len(blobs)
+    # one persistent (n, 80) feature buffer: 16 phash nibbles +
+    # 64 block codes, then position-salted hash_combine IN PLACE
+    # (fresh multi-MB temporaries are pathologically slow under the
+    # sandbox's mmap fault costs — see hashing._SCRATCH).
+    feats = H._scratch("simhash_feats", n * 80, np.uint64).reshape(n, 80)
+    nib_idx = np.arange(16, dtype=np.uint64)
+    np.right_shift(ph[:, None], nib_idx[None, :] * np.uint64(4), out=feats[:, :16])
+    np.bitwise_and(feats[:, :16], np.uint64(0xF), out=feats[:, :16])
+    # decode batched per shape group: per-blob Python is one zlib
+    # call; dequantize + gray + resize + quantize are loop-free
+    for idxs, pixels in decode_images_grouped(blobs):
+        feats[idxs, 16:] = block_features_batch(pixels).astype(np.uint64)
+    salts = np.empty(80, dtype=np.uint64)
+    salts[:16] = nib_idx + np.uint64(1)
+    salts[16:] = np.arange(64, dtype=np.uint64) + np.uint64(100)
+    # in-place: feats = hash_combine(salt, value)
+    np.add(feats, salts[None, :] + H.U64(0x9E3779B97F4A7C15), out=feats)
+    with np.errstate(over="ignore"):
+        np.bitwise_xor(feats, np.right_shift(feats, H.U64(32)), out=feats)
+        np.multiply(feats, H.U64(0x0E9846AF9B1A615D), out=feats)
+        np.bitwise_xor(feats, np.right_shift(feats, H.U64(32)), out=feats)
+        np.multiply(feats, H.U64(0x0E9846AF9B1A615D), out=feats)
+        np.bitwise_xor(feats, np.right_shift(feats, H.U64(28)), out=feats)
+    offsets = np.arange(n, dtype=np.int64) * 80
+    return H.simhash64(feats.reshape(-1), offsets, n).view(np.int64)
+
+
+def make_simhash_udf(cfg: LshConfig):
+    """Series(bytes), Series(phash int64) -> int64 simhash.
+
+    The decode runs once per Arrow batch inside numpy — the batch shape
+    is the real plumbing; the SIMG codec stands in for jpeg/png
+    (image_codec.py). Body shared with blob_scan via simhash_batch.
+    """
+
     @F.pandas_udf(T.LongType())
     def simhash_udf(blobs: pd.Series, phash: pd.Series) -> pd.Series:
-        n = len(blobs)
         ph = phash.to_numpy(dtype=np.int64).view(np.uint64)
-        # one persistent (n, 80) feature buffer: 16 phash nibbles +
-        # 64 block codes, then position-salted hash_combine IN PLACE
-        # (fresh multi-MB temporaries are pathologically slow under the
-        # sandbox's mmap fault costs — see hashing._SCRATCH).
-        feats = H._scratch("simhash_feats", n * 80, np.uint64).reshape(n, 80)
-        nib_idx = np.arange(16, dtype=np.uint64)
-        np.right_shift(ph[:, None], nib_idx[None, :] * np.uint64(4), out=feats[:, :16])
-        np.bitwise_and(feats[:, :16], np.uint64(0xF), out=feats[:, :16])
-        # decode batched per shape group: per-blob Python is one zlib
-        # call; dequantize + gray + resize + quantize are loop-free
-        for idxs, pixels in decode_images_grouped([bytes(b) for b in blobs]):
-            feats[idxs, 16:] = block_features_batch(pixels).astype(np.uint64)
-        salts = np.empty(80, dtype=np.uint64)
-        salts[:16] = nib_idx + np.uint64(1)
-        salts[16:] = np.arange(64, dtype=np.uint64) + np.uint64(100)
-        # in-place: feats = hash_combine(salt, value)
-        np.add(feats, salts[None, :] + H.U64(0x9E3779B97F4A7C15), out=feats)
-        with np.errstate(over="ignore"):
-            np.bitwise_xor(feats, np.right_shift(feats, H.U64(32)), out=feats)
-            np.multiply(feats, H.U64(0x0E9846AF9B1A615D), out=feats)
-            np.bitwise_xor(feats, np.right_shift(feats, H.U64(32)), out=feats)
-            np.multiply(feats, H.U64(0x0E9846AF9B1A615D), out=feats)
-            np.bitwise_xor(feats, np.right_shift(feats, H.U64(28)), out=feats)
-        offsets = np.arange(n, dtype=np.int64) * 80
-        sh = H.simhash64(feats.reshape(-1), offsets, n)
-        return pd.Series(sh.view(np.int64))
+        sh = simhash_batch([bytes(b) for b in blobs], ph)
+        return pd.Series(sh)
 
     return simhash_udf
 

@@ -56,13 +56,19 @@ class DedupPipeline:
 
     def __init__(self, spark: SparkSession, cfg: LshConfig,
                  io: TableIO | None = None, with_image: bool = True,
-                 id_col: str = "image_id", text_col: str = "caption"):
+                 id_col: str = "image_id", text_col: str = "caption",
+                 scan_path: str | None = None):
         self.spark = spark
         self.cfg = cfg
         self.io = io
         self.with_image = with_image
         self.id_col = id_col
         self.text_col = text_col
+        #: parquet path of the input table, when known: the signature
+        #: stage then uses the blob-scan pushdown (sources/blob_scan.py)
+        #: so image bytes never transit the JVM — bit-identical
+        #: signatures, ~1.7x stage throughput at 8 cores (see module doc)
+        self.scan_path = scan_path
         self.run_id = uuid.uuid4().hex[:12]
         self.metrics: list[dict] = []
         self._manifest_path = (
@@ -133,11 +139,17 @@ class DedupPipeline:
         cfg = self.cfg
         t: dict[str, DataFrame] = {}
 
-        t["signatures"] = self._stage(
-            "signatures",
-            lambda: compute_signatures(images, cfg, id_col=self.id_col,
-                                       text_col=self.text_col,
-                                       with_image=self.with_image))
+        def build_signatures() -> DataFrame:
+            if self.scan_path:
+                from distributed_gpu_lsh_using_sycl_spark.sources import blob_scan
+                return blob_scan.scan_signatures(
+                    self.spark, self.scan_path, cfg, with_image=self.with_image,
+                    id_col=self.id_col, text_col=self.text_col)
+            return compute_signatures(images, cfg, id_col=self.id_col,
+                                      text_col=self.text_col,
+                                      with_image=self.with_image)
+
+        t["signatures"] = self._stage("signatures", build_signatures)
         sigs = t["signatures"]
         if not self.io:
             # signatures feed bands + both sides of the rehydration join;
@@ -220,11 +232,13 @@ class DedupPipeline:
 
 def run_dedup(spark: SparkSession, images: DataFrame, cfg: LshConfig | None = None,
               warehouse: str | None = None, with_image: bool = True,
-              id_col: str = "image_id", text_col: str = "caption") -> PipelineResult:
+              id_col: str = "image_id", text_col: str = "caption",
+              scan_path: str | None = None) -> PipelineResult:
     cfg = cfg or LshConfig()
     io = TableIO(spark, warehouse, cfg.table_format) if warehouse else None
     return DedupPipeline(spark, cfg, io=io, with_image=with_image,
-                         id_col=id_col, text_col=text_col).run(images)
+                         id_col=id_col, text_col=text_col,
+                         scan_path=scan_path).run(images)
 
 
 def _main() -> None:
@@ -250,7 +264,7 @@ def _main() -> None:
                       shuffle_partitions=cfg.shuffle_partitions)
     images = spark.read.parquet(args.input)
     res = run_dedup(spark, images, cfg, warehouse=args.out,
-                    with_image=not args.no_image)
+                    with_image=not args.no_image, scan_path=args.input)
     n = res["clusters"].filter(F.col("image_id") != F.col("cluster_id")).count()
     print(json.dumps({"run_id": res.run_id, "dup_rows": n,
                       "metrics": res.metrics}))

