@@ -121,6 +121,28 @@ def q_dedup_minhash_lsh_pairs(spark, sf):
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def q_dedup_minhash_blobscan_pairs(spark, sf):
+    """Same chain as q_dedup_minhash_lsh_pairs, but signatures come from
+    the blob-scan pushdown (sources/blob_scan.py) — pyarrow reads the
+    documents parquet splits inside the Python stage and the shared
+    numpy kernels compute shingle CRC / minhash there, so this row hash-
+    gates the fused scan path against the same brute-force Jaccard
+    oracle the JVM-shingled variant uses."""
+    from distributed_gpu_lsh_using_sycl_spark.operators import banding, pairs
+    from distributed_gpu_lsh_using_sycl_spark.sources import blob_scan
+
+    cfg = _dedup_cfg()
+    path = os.path.join(sf, "documents.parquet")
+    sigs = blob_scan.scan_signatures(spark, path, cfg, with_image=False,
+                                     id_col="doc_id", text_col="text") \
+        .localCheckpoint(eager=True)
+    bands = banding.explode_bands(sigs)
+    cands = banding.candidate_pairs_from_bands(bands, cfg, source="minhash")
+    verified = pairs.verify_pairs(pairs.attach_features(cands, sigs), cfg)
+    return (verified.filter(F.col("jaccard") >= JACCARD_TAU)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
 def q_dedup_substring_pairs(spark, sf):
     """Scalable containment dedup: rolling-window-hash join candidates,
     exact `contains` verification. Semantics: a<b, min(len)>=L, one text
@@ -917,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_pairs": q_dedup_exact_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_minhash_blobscan_pairs": q_dedup_minhash_blobscan_pairs,
         "dedup_substring_pairs": q_dedup_substring_pairs,
         "lcs_window_pairs": q_lcs_window_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -1064,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
             "join documents b on a.text = b.text and a.doc_id < b.doc_id",
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         "dedup_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        "dedup_minhash_blobscan_pairs": _JACCARD_PAIRS_SQL,
         "dedup_substring_pairs": f"""
             select a.doc_id as a, b.doc_id as b
             from documents a join documents b on a.doc_id < b.doc_id

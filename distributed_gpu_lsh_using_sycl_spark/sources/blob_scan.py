@@ -43,14 +43,18 @@ from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
 from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
     minhash_buckets_batch, shingle_crcs_py, simhash_batch)
 
-_SIG_SCHEMA = T.StructType([
-    T.StructField("image_id", T.StringType(), False),
-    T.StructField("shingles", T.ArrayType(T.LongType()), True),
-    T.StructField("minhash", T.ArrayType(T.LongType()), False),
-    T.StructField("buckets", T.ArrayType(T.LongType()), True),
-    T.StructField("phash", T.LongType(), True),
-    T.StructField("simhash", T.LongType(), True),
-])
+def _sig_schema(id_type: T.DataType) -> T.StructType:
+    """Signature schema, id type inferred from the table (image ids are
+    strings; the documents table keys by int64 doc_id)."""
+    return T.StructType([
+        T.StructField("image_id", id_type, False),
+        T.StructField("shingles", T.ArrayType(T.LongType()), True),
+        T.StructField("minhash", T.ArrayType(T.LongType()), False),
+        T.StructField("buckets", T.ArrayType(T.LongType()), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("simhash", T.LongType(), True),
+    ])
+
 
 _SPLIT_SCHEMA = "file string, row_group int"
 
@@ -71,6 +75,39 @@ def parquet_splits(path: str) -> list[tuple[str, int]]:
     return out
 
 
+def compute_split(file: str, rg: int, cfg: LshConfig,
+                  a: np.ndarray, b: np.ndarray, with_image: bool = True,
+                  id_col: str = "image_id",
+                  text_col: str = "caption") -> pd.DataFrame:
+    """Scan one parquet row group and compute its signature frame — the
+    entire per-split work of the fused stage in one framework-free
+    function. Called by scan_signatures' mapInPandas tasks AND verbatim
+    by bench.py's host-ceiling control, so the stage-vs-ceiling
+    comparison is over literally the same code."""
+    import pyarrow.parquet as pq
+
+    cols = [id_col, text_col] + (["phash", "bytes"] if with_image else [])
+    t = pq.ParquetFile(file).read_row_group(rg, columns=cols)
+    caps = t.column(text_col).to_pylist()
+    k = cfg.shingle_size
+    crcs = [np.asarray(shingle_crcs_py(c, k), dtype=np.uint64) for c in caps]
+    sig_list, bucket_list = minhash_buckets_batch(crcs, cfg, a, b)
+    out = {
+        "image_id": t.column(id_col).to_pylist(),
+        "shingles": [arr.view(np.int64).tolist() for arr in crcs],
+        "minhash": sig_list,
+        "buckets": bucket_list,
+    }
+    if with_image:
+        ph = t.column("phash").to_numpy().astype(np.int64).view(np.uint64)
+        out["phash"] = ph.view(np.int64)
+        out["simhash"] = simhash_batch(t.column("bytes").to_pylist(), ph)
+    else:
+        out["phash"] = pd.array([None] * len(caps), dtype="Int64")
+        out["simhash"] = pd.array([None] * len(caps), dtype="Int64")
+    return pd.DataFrame(out)
+
+
 def scan_signatures(spark: SparkSession, path: str, cfg: LshConfig,
                     with_image: bool = True,
                     id_col: str = "image_id", text_col: str = "caption",
@@ -87,37 +124,23 @@ def scan_signatures(spark: SparkSession, path: str, cfg: LshConfig,
     parallelism, locality hints, and AQE behave exactly as for a native
     scan; only small signature rows ever enter the JVM.
     """
+    import pyarrow.dataset as ds
+
     splits = parquet_splits(path)
+    arrow_id = ds.dataset(path, format="parquet").schema.field(id_col).type
+    id_type: T.DataType = (
+        T.LongType() if str(arrow_id).startswith("int") else T.StringType())
     a, b = H.minhash_params(cfg.seed, cfg.signature_len, cfg.signature_pool_size)
     k = cfg.shingle_size
     want_image = with_image
     id_name, text_name = id_col, text_col
 
     def read_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
-        cols = [id_name, text_name] + (["phash", "bytes"] if want_image else [])
         for pdf in batches:
             for file, rg in zip(pdf["file"], pdf["row_group"]):
-                t = pq.ParquetFile(file).read_row_group(int(rg), columns=cols)
-                caps = t.column(text_name).to_pylist()
-                crcs = [np.asarray(shingle_crcs_py(c, k), dtype=np.uint64)
-                        for c in caps]
-                sig_list, bucket_list = minhash_buckets_batch(crcs, cfg, a, b)
-                out = {
-                    "image_id": t.column(id_name).to_pylist(),
-                    "shingles": [arr.view(np.int64).tolist() for arr in crcs],
-                    "minhash": sig_list,
-                    "buckets": bucket_list,
-                }
-                if want_image:
-                    ph = t.column("phash").to_numpy().astype(np.int64).view(np.uint64)
-                    out["phash"] = ph.view(np.int64)
-                    out["simhash"] = simhash_batch(t.column("bytes").to_pylist(), ph)
-                else:
-                    out["phash"] = pd.array([None] * len(caps), dtype="Int64")
-                    out["simhash"] = pd.array([None] * len(caps), dtype="Int64")
-                yield pd.DataFrame(out)
+                yield compute_split(file, int(rg), cfg, a, b,
+                                    with_image=want_image,
+                                    id_col=id_name, text_col=text_name)
 
     n_parts = max(1, (len(splits) + splits_per_partition - 1) // splits_per_partition)
     # parallelize slices the split list exactly evenly (no hash-collision
@@ -125,6 +148,6 @@ def scan_signatures(spark: SparkSession, path: str, cfg: LshConfig,
     # the tasks empty and doubles up others — measured stragglers)
     splits_df = spark.createDataFrame(
         spark.sparkContext.parallelize(splits, n_parts), _SPLIT_SCHEMA)
-    return (splits_df.mapInPandas(read_splits, schema=_SIG_SCHEMA)
+    return (splits_df.mapInPandas(read_splits, schema=_sig_schema(id_type))
             .select("image_id", "shingles", "minhash", "buckets",
                     "phash", "simhash"))
