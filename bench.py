@@ -247,7 +247,7 @@ def run_scaling(max_extra_pairs: int = 2, target: float = 0.8,
 
 #: record key for the control/stage estimator; bump when the measured
 #: workload changes so old-variant records never fold into new ones
-STAGE_VARIANT = "blobscan-samework-v3"
+STAGE_VARIANT = "blobscan-sliced-v3b"
 
 
 def _ceiling_worker(args):
@@ -319,7 +319,8 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
     import __spark_entry__ as E
 
     spark = _spark(cores)
-    picks = ["dedup_minhash_lsh_pairs", "dedup_substring_pairs", "lcs_window_pairs",
+    picks = ["dedup_minhash_lsh_pairs", "dedup_minhash_blobscan_pairs",
+             "dedup_substring_pairs", "lcs_window_pairs",
              "doc_simhash_pairs", "cc_clusters", "lang_id", "token_counts",
              "knn_block_matmul_topk", "ann_lsh_topk", "ivf_topk",
              "ivfpq_topk", "lsh_knn",

@@ -43,6 +43,7 @@ from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
 from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
     minhash_buckets_batch, shingle_crcs_py, simhash_batch)
 
+
 def _sig_schema(id_type: T.DataType) -> T.StructType:
     """Signature schema, id type inferred from the table (image ids are
     strings; the documents table keys by int64 doc_id)."""
@@ -75,26 +76,33 @@ def parquet_splits(path: str) -> list[tuple[str, int]]:
     return out
 
 
-def compute_split(file: str, rg: int, cfg: LshConfig,
-                  a: np.ndarray, b: np.ndarray, with_image: bool = True,
-                  id_col: str = "image_id",
-                  text_col: str = "caption") -> pd.DataFrame:
-    """Scan one parquet row group and compute its signature frame — the
-    entire per-split work of the fused stage in one framework-free
-    function. Called by scan_signatures' mapInPandas tasks AND verbatim
-    by bench.py's host-ceiling control, so the stage-vs-ceiling
-    comparison is over literally the same code."""
-    import pyarrow.parquet as pq
+#: rows per in-worker read slice. The blob work is sliced WELL below the
+#: row-group size so a worker's live set (bytes objects + decode
+#: buffers) stays ~10 MB and pymalloc/arena reuse kicks in: on this
+#: sandbox (and any mmap-fault-expensive host) materializing a whole
+#: 6000-row/114 MB row group costs more in page faults than the decode
+#: itself — measured at 384k images, 32 pinned procs, same-work kernel:
+#: whole row group 12.5k img/s, 1500-row slices 22.1k, 512-row slices
+#: 58.8k. Output frames (signatures) are small, so the per-split concat
+#: is noise.
+SLICE_ROWS = 512
 
-    cols = [id_col, text_col] + (["phash", "bytes"] if with_image else [])
-    t = pq.ParquetFile(file).read_row_group(rg, columns=cols)
+
+def _compute_batch(t, cfg: LshConfig, a: np.ndarray, b: np.ndarray,
+                   with_image: bool, id_col: str, text_col: str) -> pd.DataFrame:
+    """Signature frame for one in-memory Arrow batch/table slice."""
     caps = t.column(text_col).to_pylist()
     k = cfg.shingle_size
-    crcs = [np.asarray(shingle_crcs_py(c, k), dtype=np.uint64) for c in caps]
+    # NULL caption: the JVM chain yields shingles = NULL (not []) and the
+    # minhash UDF sees an empty set — mirror both exactly
+    crcs = [np.zeros(0, dtype=np.uint64) if c is None
+            else np.asarray(shingle_crcs_py(c, k), dtype=np.uint64)
+            for c in caps]
     sig_list, bucket_list = minhash_buckets_batch(crcs, cfg, a, b)
     out = {
         "image_id": t.column(id_col).to_pylist(),
-        "shingles": [arr.view(np.int64).tolist() for arr in crcs],
+        "shingles": [None if c is None else arr.view(np.int64).tolist()
+                     for c, arr in zip(caps, crcs)],
         "minhash": sig_list,
         "buckets": bucket_list,
     }
@@ -108,13 +116,39 @@ def compute_split(file: str, rg: int, cfg: LshConfig,
     return pd.DataFrame(out)
 
 
+def compute_split(file: str, rg: int, cfg: LshConfig,
+                  a: np.ndarray, b: np.ndarray, with_image: bool = True,
+                  id_col: str = "image_id", text_col: str = "caption",
+                  slice_rows: int = SLICE_ROWS) -> pd.DataFrame:
+    """Scan one parquet row group and compute its signature frame — the
+    entire per-split work of the fused stage in one framework-free
+    function. Called by scan_signatures' mapInPandas tasks AND verbatim
+    by bench.py's host-ceiling control, so the stage-vs-ceiling
+    comparison is over literally the same code. The row group is
+    streamed in ``slice_rows`` batches (see SLICE_ROWS) so blob bytes
+    never pile up in the worker."""
+    import pyarrow.parquet as pq
+
+    cols = [id_col, text_col] + (["phash", "bytes"] if with_image else [])
+    frames = [
+        _compute_batch(batch, cfg, a, b, with_image, id_col, text_col)
+        for batch in pq.ParquetFile(file).iter_batches(
+            batch_size=slice_rows, row_groups=[rg], columns=cols)
+    ]
+    if not frames:
+        return _compute_batch(
+            pq.ParquetFile(file).read_row_group(rg, columns=cols),
+            cfg, a, b, with_image, id_col, text_col)
+    return frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+
+
 def scan_signatures(spark: SparkSession, path: str, cfg: LshConfig,
                     with_image: bool = True,
                     id_col: str = "image_id", text_col: str = "caption",
                     splits_per_partition: int = 1) -> DataFrame:
     """Fused scan+signature stage over a parquet image table: returns the
     same DataFrame as ``compute_signatures(spark.read.parquet(path))``
-    — (image_id, shingles, minhash, buckets, simhash, phash) — without
+    — (image_id, shingles, minhash, buckets, phash, simhash) — without
     moving blob bytes through the JVM.
 
     Spark plans (file, row_group) splits as a tiny DataFrame, one task
@@ -131,7 +165,6 @@ def scan_signatures(spark: SparkSession, path: str, cfg: LshConfig,
     id_type: T.DataType = (
         T.LongType() if str(arrow_id).startswith("int") else T.StringType())
     a, b = H.minhash_params(cfg.seed, cfg.signature_len, cfg.signature_pool_size)
-    k = cfg.shingle_size
     want_image = with_image
     id_name, text_name = id_col, text_col
 

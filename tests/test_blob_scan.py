@@ -84,6 +84,29 @@ def test_scan_signatures_no_image_parity(spark, fixture_parquet):
     assert fast_map == ref_map
 
 
+def test_scan_signatures_null_and_edge_captions(spark, tmp_path):
+    """NULL captions must mirror the JVM chain exactly: shingles = NULL
+    (not []), minhash = empty-set signature, buckets = NULL; int64 ids
+    keep their type through the inferred schema."""
+    path = str(tmp_path / "edge.parquet")
+    rows = [(i, c) for i, c in enumerate([None, "", "   ", "one",
+                                          "a b c d", "  Mixed   CASE  "])]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    fast = blob_scan.scan_signatures(spark, path, CFG, with_image=False,
+                                     id_col="doc_id", text_col="text")
+    ref = compute_signatures(spark.read.parquet(path), CFG,
+                             id_col="doc_id", text_col="text",
+                             with_image=False)
+    cols = ["image_id", "shingles", "minhash", "buckets"]
+    fast_rows = {r.image_id: (r.shingles, list(r.minhash), r.buckets)
+                 for r in fast.select(cols).collect()}
+    ref_rows = {r.image_id: (r.shingles, list(r.minhash), r.buckets)
+                for r in ref.select(cols).collect()}
+    assert fast_rows == ref_rows
+    assert dict(fast.dtypes)["image_id"] == "bigint"
+
+
 def test_pipeline_scan_path_same_clusters(spark, fixture_parquet):
     from distributed_gpu_lsh_using_sycl_spark.plans.pipeline import run_dedup
 
