@@ -228,19 +228,35 @@ _IMG_FIXTURE_SEED = 42
 #: shared-frame stage over the exact values the Spark query used. The
 #: decode itself (not SQL-expressible) stays pinned by the bit-identical
 #: batch-kernel tests and planted-truth recall in pytest.
-_ORACLE_EXPORT_DIR = "/tmp/dlsh_oracle_export"
+#:
+#: Exports are keyed by the sf dir's basename so a run at another scale
+#: (e.g. bench at sf0.1) can never clobber the files the correctness
+#: oracle reads; the oracle SQL points at the driver's correctness scale
+#: (_ORACLE_SF — the driver compares Spark vs DuckDB at sf0.01 only).
+_ORACLE_EXPORT_BASE = "/tmp/dlsh_oracle_export"
+_ORACLE_SF = os.environ.get("DLSH_ORACLE_SF", "sf0.01")
 
 
-def _export_read_back(df: DataFrame, name: str) -> DataFrame:
-    path = os.path.join(_ORACLE_EXPORT_DIR, f"{name}.parquet")
+def _oracle_export_path(name: str, sf_dir: str) -> str:
+    sf_key = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join(_ORACLE_EXPORT_BASE, sf_key, f"{name}.parquet")
+
+
+def _export_read_back(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    path = _oracle_export_path(name, sf_dir)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
 
-def _hamming_pairs_oracle(name: str, threshold: int = 8) -> str:
+def _hamming_pairs_oracle(name: str, threshold: int | None = None) -> str:
     """Brute-force (a, b, hamming) over an exported (image_id, fp)
-    parquet — the oracle twin of hash_band_pairs + popcount verify."""
-    glob = os.path.join(_ORACLE_EXPORT_DIR, f"{name}.parquet", "*.parquet")
+    parquet — the oracle twin of hash_band_pairs + popcount verify.
+    The threshold comes from the SAME config the Spark queries use, so a
+    future cfg change cannot desync query from oracle."""
+    if threshold is None:
+        threshold = _dedup_cfg().hamming_threshold
+    glob = os.path.join(_ORACLE_EXPORT_BASE, _ORACLE_SF,
+                        f"{name}.parquet", "*.parquet")
     return f"""
 with s as (select image_id, fp from read_parquet('{glob}'))
 select a.image_id as a, b.image_id as b,
@@ -270,7 +286,7 @@ def _image_fixture(spark) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _image_hash_pairs(spark, hash_col: str) -> DataFrame:
+def _image_hash_pairs(spark, sf, hash_col: str) -> DataFrame:
     """Shared body: signature stage -> bit-band blocking -> exact popcount
     verify. The simhash path decodes pixels (multimodal decode + block
     features + simhash, vectorized); the phash path reads the STORED
@@ -296,7 +312,7 @@ def _image_hash_pairs(spark, hash_col: str) -> DataFrame:
     # so the DuckDB oracle can value-hash the banding+verify stage
     sigs = _export_read_back(
         sigs.select("image_id", F.col(hash_col).alias("fp")),
-        f"image_{hash_col}_pairs")
+        f"image_{hash_col}_pairs", sf)
     cands = hash_band_pairs(sigs, "fp", cfg, source=hash_col)
     h = sigs.select("image_id", F.col("fp").alias("h"))
     withs = (cands
@@ -314,13 +330,13 @@ def q_image_simhash_pairs(spark, sf):
     binary decode -> block features -> position-salted simhash, all
     Arrow-batched). Rows-only (binary fixture is outside the DuckDB
     views); recall >= 0.99 vs planted truth in tests/test_e2e_dedup.py."""
-    return _image_hash_pairs(spark, "simhash")
+    return _image_hash_pairs(spark, sf, "simhash")
 
 
 def q_image_phash_pairs(spark, sf):
     """Image near-dup pairs via the stored perceptual hash (phash) —
     banded blocking + exact Hamming verify. Rows-only."""
-    return _image_hash_pairs(spark, "phash")
+    return _image_hash_pairs(spark, sf, "phash")
 
 
 def q_audio_neardup_pairs(spark, sf):
@@ -337,9 +353,8 @@ def q_audio_neardup_pairs(spark, sf):
     ids = _t(spark, sf, "documents").select("doc_id").repartition(
         spark.sparkContext.defaultParallelism)
     return audio_neardup_pairs(
-        synth_audio_df(ids), hamming_threshold=8,
-        export_sigs_path=os.path.join(_ORACLE_EXPORT_DIR,
-                                      "audio_neardup_pairs.parquet"))
+        synth_audio_df(ids), hamming_threshold=_dedup_cfg().hamming_threshold,
+        export_sigs_path=_oracle_export_path("audio_neardup_pairs", sf))
 
 
 def q_video_neardup_pairs(spark, sf):
@@ -354,8 +369,8 @@ def q_video_neardup_pairs(spark, sf):
         spark.sparkContext.defaultParallelism)
     return video_neardup_pairs(
         synth_video_df(ids), every_k=2,
-        export_hashes_path=os.path.join(_ORACLE_EXPORT_DIR,
-                                        "video_neardup_pairs.parquet"))
+        export_hashes_path=_oracle_export_path("video_neardup_pairs",
+                                               sf))
 
 
 # --------------------------------------------------------------------------- #
@@ -725,10 +740,15 @@ def q_streaming_dedup_clusters(spark, sf):
     import shutil
 
     from distributed_gpu_lsh_using_sycl_spark.streaming.e2e import (
-        streaming_dedup_cycle)
+        streaming_dedup_cycle, unload_state_stores)
 
     base = os.path.join("/tmp/dlsh_stream_e2e",
                         os.path.basename(sf.rstrip("/")))
+    # unload loaded state providers + stop the maintenance thread before
+    # touching any checkpoint dir a previous run in this session left —
+    # the async maintenance task otherwise races the deletion and dumps a
+    # stack trace into stderr mid-teardown (streaming/e2e.py helper doc)
+    unload_state_stores(spark)
     shutil.rmtree(base, ignore_errors=True)
     inp = os.path.join(base, "in")
     wh = os.path.join(base, "wh")
@@ -748,6 +768,11 @@ def q_streaming_dedup_clusters(spark, sf):
     d.filter(F.col("image_id").cast("long") % 2 == 1) \
         .write.mode("overwrite").parquet(os.path.join(inp, "w2"))
     res = streaming_dedup_cycle(spark, inp + "/*", wh, cfg)
+    # both streams have terminated; drop their state providers now so no
+    # background maintenance outlives this query into the rest of the
+    # session (the returned clusters frame reads a plain parquet table
+    # and does not depend on stream state)
+    unload_state_stores(spark)
     c = res["clusters"]
     canon = c.groupBy("cluster_id").agg(
         F.min(F.col("image_id").cast("long")).alias("canon"))
@@ -1058,7 +1083,7 @@ def oracle_sql() -> dict[str, str]:
         ivf_oracle_sql, ivfpq_oracle_sql, lsh_knn_oracle_sql,
         mixed_oracle_sql, rp_oracle_sql)
 
-    video_glob = os.path.join(_ORACLE_EXPORT_DIR,
+    video_glob = os.path.join(_ORACLE_EXPORT_BASE, _ORACLE_SF,
                               "video_neardup_pairs.parquet", "*.parquet")
     return {
         "doc_simhash_pairs": doc_simhash_oracle_sql(
@@ -1066,7 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         # binary-decode queries: each Spark query exports its computed
         # fingerprints (and continues from the read-back copy), so the
         # oracle brute-forces the pair stage over the exact values used —
-        # see _ORACLE_EXPORT_DIR. The driver runs the Spark query before
+        # see _ORACLE_EXPORT_BASE. The driver runs the Spark query before
         # its oracle, so the export always exists and matches.
         "image_simhash_pairs": _hamming_pairs_oracle("image_simhash_pairs"),
         "image_phash_pairs": _hamming_pairs_oracle("image_phash_pairs"),

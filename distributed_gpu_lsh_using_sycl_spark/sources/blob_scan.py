@@ -159,11 +159,28 @@ def scan_signatures(spark: SparkSession, path: str, cfg: LshConfig,
     scan; only small signature rows ever enter the JVM.
     """
     import pyarrow.dataset as ds
+    import pyarrow.types as pat
 
     splits = parquet_splits(path)
     arrow_id = ds.dataset(path, format="parquet").schema.field(id_col).type
-    id_type: T.DataType = (
-        T.LongType() if str(arrow_id).startswith("int") else T.StringType())
+    # Map the id column by Arrow TYPE FAMILY, not by the type's string
+    # form: signed ints (and unsigned up to uint32, which fit a long) ->
+    # LongType, any string flavor (string / large_string) -> StringType.
+    # uint64 would silently wrap past 2^63 and binary has no stable
+    # DataFrame key semantics here — refuse both loudly.
+    if pat.is_integer(arrow_id):
+        if pat.is_unsigned_integer(arrow_id) and arrow_id.bit_width >= 64:
+            raise TypeError(
+                f"id column {id_col!r} is {arrow_id} — uint64 ids can exceed "
+                "LongType's 2^63-1 and would wrap; cast the table's id to "
+                "int64 or string first")
+        id_type: T.DataType = T.LongType()
+    elif pat.is_string(arrow_id) or pat.is_large_string(arrow_id):
+        id_type = T.StringType()
+    else:
+        raise TypeError(
+            f"unsupported id column type {arrow_id} for {id_col!r}: expected "
+            "an integer or string id (binary/struct ids are not supported)")
     a, b = H.minhash_params(cfg.seed, cfg.signature_len, cfg.signature_pool_size)
     want_image = with_image
     id_name, text_name = id_col, text_col

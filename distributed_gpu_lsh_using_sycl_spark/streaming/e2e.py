@@ -12,14 +12,22 @@ is the north rule's resumable-pipeline surface driven by streams):
    signatures through the stateful (band, bucket)-keyed incremental
    bucket join — each unordered candidate pair is emitted once per
    bucket across the stream's lifetime.
-3. A BATCH reconcile re-verifies the accumulated candidate set (exact
-   Jaccard, JVM-side) and re-runs connected components over the verified
-   edges, overwriting the ``clusters`` table. CC is a global fixpoint —
-   a new edge can merge two old components — so the reconcile is
-   deliberately batch over accumulated state, not incremental: it is
-   cheap relative to signing (the amortized stage) and always produces
-   the same clusters as a from-scratch batch run over everything seen so
-   far (asserted in tests/test_resume_and_streaming.py).
+3. An INCREMENTAL batch reconcile: candidate pairs already adjudicated
+   (verified or rejected) in a previous cycle are persisted in the
+   ``adjudicated`` table; each cycle anti-joins the accumulated
+   candidates against it and runs the expensive verification
+   (signature rehydration + exact Jaccard/Hamming, JVM-side) ONLY over
+   the not-yet-adjudicated pairs — so verify work is proportional to
+   the new wave, not to everything ever seen. Connected components
+   then re-run over the FULL verified-edge set: CC is a global
+   fixpoint — a new edge can merge two old components — so the
+   cluster assignment is deliberately recomputed from all verified
+   edges, and always equals a from-scratch batch run over everything
+   seen so far (asserted in tests/test_resume_and_streaming.py).
+   Adjudications are append-only and idempotent: a crash between the
+   append and the cluster write at worst re-verifies one wave (the
+   anti-join skips whatever landed) or leaves duplicate adjudication
+   rows, which the distinct() in verified_edges absorbs.
 
 Each ``streaming_dedup_cycle`` call is one availableNow drain of stages
 1+2 plus one reconcile — the "micro-batch dedup" loop a scheduler would
@@ -36,10 +44,45 @@ from pyspark.sql import functions as F
 from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
 
 
+def _await_drained(q, timeout_s: int) -> None:
+    """Block until the availableNow query terminates; if it outlives the
+    timeout, STOP it and raise instead of proceeding — the cycle's next
+    step batch-reads the stage tables, and reading them while the stream
+    is still committing would yield partial signatures/candidates with no
+    error at all (the worst failure mode: silently wrong clusters)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        q.awaitTermination()
+        raise TimeoutError(
+            f"streaming stage {q.name or q.id} did not drain within "
+            f"{timeout_s}s; stopped it rather than read partial stage tables")
+
+
+def _parquet_dir_has_data(path: str) -> bool:
+    """True iff ``path`` is a directory with at least one parquet part —
+    the only condition under which the candidate table is batch-readable.
+    A local-FS check suffices here (the sandbox warehouse is a local
+    dir); a real deployment points the warehouse at an Iceberg table
+    whose existence the catalog answers (sources/tables.py)."""
+    if not os.path.isdir(path):
+        return False
+    return any(f.endswith(".parquet")
+               for _, _, files in os.walk(path) for f in files)
+
+
 def _reconcile(spark: SparkSession, sigs: DataFrame,
-               cands: DataFrame, cfg: LshConfig) -> DataFrame:
-    """Accumulated signatures + candidate pairs -> full cluster
-    assignment (verified-edge CC; singletons = self)."""
+               cands: DataFrame, cfg: LshConfig,
+               adjudicated_dir: str | None = None) -> tuple[DataFrame, int]:
+    """Accumulated signatures + candidate pairs -> (full cluster
+    assignment, n pairs newly verified this cycle).
+
+    With ``adjudicated_dir`` the verification is INCREMENTAL: pairs
+    whose verdict (verified True/False) is already persisted there are
+    anti-joined away, only the remainder pays the rehydration join +
+    Jaccard/Hamming predicates, and the new verdicts are appended.
+    Signatures are immutable once written (exactly-once ingest, one
+    signature per image_id), so a verdict never needs revisiting. CC
+    stays global over ALL verified edges (singletons = self)."""
     from distributed_gpu_lsh_using_sycl_spark.operators.components import (
         assign_clusters)
     from distributed_gpu_lsh_using_sycl_spark.operators.pairs import (
@@ -50,9 +93,23 @@ def _reconcile(spark: SparkSession, sigs: DataFrame,
                           F.col("b").cast(id_type).alias("b"))
              .distinct()
              .withColumn("source", F.lit("minhash")))
-    verified = verify_pairs(attach_features(pairs, sigs), cfg)
-    return assign_clusters(sigs, verified_edges(verified),
-                           id_col="image_id")
+    prior_count = 0
+    if adjudicated_dir and _parquet_dir_has_data(adjudicated_dir):
+        prior = spark.read.parquet(adjudicated_dir)
+        prior_count = prior.count()  # snapshot BEFORE the append below
+        pairs = pairs.join(prior.select("a", "b"), ["a", "b"], "left_anti")
+    new_verdicts = verify_pairs(attach_features(pairs, sigs), cfg)
+    if adjudicated_dir:
+        # the append materializes the wave's verdicts once; the read-back
+        # copy feeds the edge set (and the wave-size metric)
+        new_verdicts.write.mode("append").parquet(adjudicated_dir)
+        all_verdicts = spark.read.parquet(adjudicated_dir)
+        n_new = all_verdicts.count() - prior_count
+    else:
+        all_verdicts = new_verdicts
+        n_new = -1  # not tracked in the non-persistent mode
+    return (assign_clusters(sigs, verified_edges(all_verdicts),
+                            id_col="image_id"), n_new)
 
 
 def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
@@ -85,7 +142,7 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
     q = signature_stream(spark, input_dir, sigs_dir,
                          os.path.join(warehouse, "ckpt_sigs"), cfg,
                          with_image=with_image, available_now=True)
-    q.awaitTermination(timeout_s)
+    _await_drained(q, timeout_s)
     # The stateful join's state-store partition count is captured from
     # spark.sql.shuffle.partitions at the query's FIRST start and pinned
     # in the checkpoint; this knob overrides it for the candidate stream
@@ -103,25 +160,44 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
         q = candidate_pair_stream(spark, sigs_dir, pairs_dir,
                                   os.path.join(warehouse, "ckpt_pairs"), cfg,
                                   available_now=True)
-        q.awaitTermination(timeout_s)
+        _await_drained(q, timeout_s)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     sigs = spark.read.parquet(sigs_dir)
-    try:
+    # An empty-so-far candidate table is normal (no pair emitted yet ->
+    # all singletons); any OTHER read failure (corrupt/partial parquet,
+    # permissions, transient FS error) must propagate — swallowing it
+    # would silently overwrite the clusters table with all-singletons.
+    if _parquet_dir_has_data(pairs_dir):
         cands = spark.read.parquet(pairs_dir).select("a", "b")
-    except Exception:  # no candidate ever emitted yet -> all singletons
+    else:
         cands = spark.createDataFrame([], "a string, b string")
     if not reconcile:
         return {"clusters": None,
                 "n_signatures": sigs.count(),
                 "n_candidates": cands.count()}
-    clusters = _reconcile(spark, sigs, cands, cfg)
+    clusters, n_new = _reconcile(
+        spark, sigs, cands, cfg,
+        adjudicated_dir=os.path.join(warehouse, "adjudicated"))
     out_dir = os.path.join(warehouse, "clusters")
     clusters.write.mode("overwrite").parquet(out_dir)
     return {"clusters": spark.read.parquet(out_dir),
             "n_signatures": sigs.count(),
-            "n_candidates": cands.count()}
+            "n_candidates": cands.count(),
+            "n_new_adjudicated": n_new}
+
+
+def unload_state_stores(spark: SparkSession) -> None:
+    """Stop the executor-side StateStore machinery: unload every loaded
+    provider and cancel the background maintenance task. Call AFTER the
+    streaming queries have terminated and BEFORE deleting their
+    checkpoint dirs — the maintenance thread otherwise keeps snapshotting
+    loaded state asynchronously and races the deletion (observed as a
+    StateStore$MaintenanceTask stack trace on stderr during teardown).
+    Spark lazily restarts the machinery on the next stateful query, so
+    this is safe between runs in one session."""
+    spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
 
 def batch_dedup_reference(spark: SparkSession, images: DataFrame,
@@ -140,4 +216,4 @@ def batch_dedup_reference(spark: SparkSession, images: DataFrame,
         .localCheckpoint(eager=True)
     cands = candidate_pairs_from_bands(explode_bands(sigs), cfg,
                                        source="minhash").select("a", "b")
-    return _reconcile(spark, sigs, cands, cfg)
+    return _reconcile(spark, sigs, cands, cfg)[0]

@@ -31,6 +31,7 @@ for the continuous-ingest regime, same contract as the batch operator.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterable, Iterator
 
 import pandas as pd
@@ -54,6 +55,41 @@ _STATE_SCHEMA = T.StructType([
     T.StructField("buckets", T.ArrayType(T.LongType()), True),
     T.StructField("members", T.ArrayType(T.ArrayType(T.StringType())), True),
 ])
+
+#: State-store layout version. BUMP THIS whenever _STATE_SCHEMA or the
+#: grouping key changes (v1: per-(band,bucket) keys, members
+#: array<string>; v2: coarse (band, bucket % state_group_buckets) keys,
+#: packed buckets+members arrays). A checkpoint written under another
+#: version cannot be resumed — without this stamp Spark surfaces the
+#: mismatch as an opaque state-store deserialization error mid-batch.
+STATE_FORMAT_VERSION = 2
+_VERSION_FILE = "_DLSH_STATE_VERSION"
+
+
+def _check_state_version(checkpoint_dir: str) -> None:
+    """Stamp a fresh checkpoint dir with STATE_FORMAT_VERSION; refuse a
+    non-empty one stamped otherwise (or pre-stamp) with a clear error
+    telling the operator to rebuild, instead of letting the state store
+    fail opaquely on schema/key mismatch."""
+    vfile = os.path.join(checkpoint_dir, _VERSION_FILE)
+    if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
+        have = None
+        if os.path.exists(vfile):
+            with open(vfile) as f:
+                have = f.read().strip()
+        if have != str(STATE_FORMAT_VERSION):
+            raise RuntimeError(
+                f"streaming checkpoint {checkpoint_dir!r} was written under "
+                f"state layout version {have or 'pre-versioning'}, but this "
+                f"build uses version {STATE_FORMAT_VERSION} (state schema / "
+                "grouping key changed). Delete the checkpoint dir AND the "
+                "candidate output dir, then re-drain from the signatures "
+                "table — resuming would hit an opaque state-store "
+                "deserialization error.")
+        return
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(vfile, "w") as f:
+        f.write(str(STATE_FORMAT_VERSION))
 
 
 def _make_emit(cap: int):
@@ -135,6 +171,7 @@ def candidate_pair_stream(spark, input_dir: str, out_dir: str,
     explode bands -> stateful incremental bucket join -> append parquet.
     Returns the StreamingQuery."""
     cfg = cfg or LshConfig()
+    _check_state_version(checkpoint_dir)
     sigs_schema = T.StructType([
         T.StructField("image_id", T.StringType(), False),
         T.StructField("buckets", T.ArrayType(T.LongType()), True),

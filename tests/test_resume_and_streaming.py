@@ -185,6 +185,14 @@ def test_streaming_e2e_dedup_equals_batch(spark, tmp_path_factory):
     # the fixture plants dups -> the equality is not vacuous
     joined = sum(1 for k, v in want2.items() if k != v)
     assert joined > 0
+    # incremental reconcile: cycle 2 adjudicates ONLY the pairs cycle 1
+    # hadn't seen — the two waves' adjudications partition the distinct
+    # accumulated candidate set, and wave-1 pairs are never re-verified
+    n_distinct = (spark.read.parquet(os.path.join(wh, "cand_pairs"))
+                  .select("a", "b").distinct().count())
+    assert r1["n_new_adjudicated"] > 0
+    assert r1["n_new_adjudicated"] + r2["n_new_adjudicated"] == n_distinct
+    assert r2["n_new_adjudicated"] < n_distinct
 
 
 def test_streaming_drain_only_then_reconcile_equals_batch(
@@ -222,3 +230,26 @@ def test_streaming_drain_only_then_reconcile_equals_batch(
            for row in r["clusters"].collect()}
     assert got == want
     assert sum(1 for k, v in want.items() if k != v) > 0
+
+
+def test_state_checkpoint_version_guard(tmp_path):
+    """A checkpoint written under another state layout (schema or
+    grouping key changed) must be refused with a clear error, not
+    resumed into an opaque state-store deserialization failure."""
+    from distributed_gpu_lsh_using_sycl_spark.streaming.stateful import (
+        STATE_FORMAT_VERSION, _VERSION_FILE, _check_state_version)
+
+    ck = tmp_path / "ckpt"
+    _check_state_version(str(ck))  # fresh dir -> created + stamped
+    stamp = ck / _VERSION_FILE
+    assert stamp.read_text() == str(STATE_FORMAT_VERSION)
+    _check_state_version(str(ck))  # matching stamp -> accepted
+
+    stamp.write_text("1")          # older layout -> refused, named
+    with pytest.raises(RuntimeError, match="state layout version 1"):
+        _check_state_version(str(ck))
+
+    stamp.unlink()                 # pre-versioning checkpoint with
+    (ck / "offsets").mkdir()       # real content -> also refused
+    with pytest.raises(RuntimeError, match="pre-versioning"):
+        _check_state_version(str(ck))
