@@ -722,6 +722,28 @@ def q_cc_clusters(spark, sf):
             .select(F.col("image_id").alias("doc_id"), "cluster_id"))
 
 
+def q_e2e_caption_dedup(spark, sf):
+    """The FLAGSHIP end-to-end batch pipeline (plans/pipeline.py) over the
+    documents table, value-hash checked: blob-scan pushdown signature
+    stage (sources/blob_scan.py — Spark plans row-group splits, pyarrow
+    reads them inside the Python stage) → MinHash banding + substring/
+    window candidates → exact Jaccard / containment verify → large-star/
+    small-star connected components. The DuckDB oracle recomputes the
+    same semantics non-staged: edges = brute-force Jaccard>=tau pairs ∪
+    substring-containment pairs, recursive-CTE transitive closure, min
+    id per component. This row hash-gates the scan path end to end: the
+    blob-scan kernels are bit-identical twins of the JVM signature chain,
+    so the cluster assignment must not move."""
+    from distributed_gpu_lsh_using_sycl_spark.plans.pipeline import run_dedup
+
+    docs_path = os.path.join(sf, "documents.parquet")
+    res = run_dedup(spark, spark.read.parquet(docs_path), _dedup_cfg(),
+                    with_image=False, id_col="doc_id", text_col="text",
+                    scan_path=docs_path)
+    return (res["clusters"]
+            .select(F.col("image_id").alias("doc_id"), "cluster_id"))
+
+
 def q_streaming_dedup_clusters(spark, sf):
     """END-TO-END STRUCTURED STREAMING dedup, value-hash checked: the
     full chain — incremental signature ingest (readStream + streaming
@@ -974,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_topk": q_token_freq_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "cc_clusters": q_cc_clusters,
+        "e2e_caption_dedup": q_e2e_caption_dedup,
         "streaming_dedup_clusters": q_streaming_dedup_clusters,
         "image_simhash_pairs": q_image_simhash_pairs,
         "image_phash_pairs": q_image_phash_pairs,
@@ -1182,6 +1205,32 @@ def oracle_sql() -> dict[str, str]:
                     where least(length(a.text), length(b.text)) >= {SUBSTR_L}
                       and (contains(a.text, b.text) or contains(b.text, a.text))),
             e as (select a as u, b as v from ex union select b, a from ex
+                  union select a as u, b as v from sub union select b, a from sub),
+            walk(id, r) as (
+              select doc_id, doc_id from documents
+              union
+              select w.id, e.v from walk w join e on e.u = w.r
+            )
+            select id as doc_id, min(r) as cluster_id from walk group by id""",
+        # flagship pipeline: verified edges are (brute Jaccard>=tau pairs)
+        # ∪ (substring-containment pairs, min length SUBSTR_L — the
+        # auto-verified "substring" source); window-share candidates only
+        # survive the verify when their Jaccard clears tau, so they add
+        # nothing beyond jp. Transitive closure + min, as in cc_clusters.
+        "e2e_caption_dedup": f"""
+            with recursive {_TOKS_CTE}, {_SHINGLES_CTE},
+            jp as (select a.doc_id as a, b.doc_id as b
+                   from sh a join sh b on a.doc_id < b.doc_id
+                   where len(a.s) + len(b.s) > 0
+                     and round(cast(len(list_intersect(a.s, b.s)) as double)
+                         / (len(a.s) + len(b.s)
+                            - len(list_intersect(a.s, b.s))), 6)
+                         >= {JACCARD_TAU}),
+            sub as (select a.doc_id as a, b.doc_id as b
+                    from documents a join documents b on a.doc_id < b.doc_id
+                    where least(length(a.text), length(b.text)) >= {SUBSTR_L}
+                      and (contains(a.text, b.text) or contains(b.text, a.text))),
+            e as (select a as u, b as v from jp union select b, a from jp
                   union select a as u, b as v from sub union select b, a from sub),
             walk(id, r) as (
               select doc_id, doc_id from documents

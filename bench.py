@@ -328,7 +328,10 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
              "entropy_lsh_buckets", "mixed_lsh_buckets", "image_phash_pairs",
              "kmeans_clusters", "streaming_dedup_clusters",
              "q1_pricing_summary", "revenue_by_nation",
-             "topk_per_group", "sessionization", "windowed_events"]
+             "topk_per_group", "sessionization", "windowed_events",
+             # flagship last: the full staged pipeline (blob-scan
+             # signature stage via scan_path, see q_e2e_caption_dedup)
+             "e2e_caption_dedup"]
     qs = E.queries()
     # Warm the python worker pool THROUGH the real UDF path: workers are
     # forked lazily and each pays numpy/pandas/engine imports plus scratch
@@ -355,16 +358,6 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()  # drop persists left by query builders
-
-    # end-to-end caption dedup over documents (flagship)
-    from distributed_gpu_lsh_using_sycl_spark.plans.pipeline import run_dedup
-
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    t0 = time.perf_counter()
-    res = run_dedup(spark, docs, E._dedup_cfg(), with_image=False,
-                    id_col="doc_id", text_col="text")
-    res["clusters"].write.format("noop").mode("overwrite").save()
-    times["e2e_caption_dedup"] = round(time.perf_counter() - t0, 2)
     spark.stop()
     return times
 
