@@ -44,11 +44,16 @@ def get_spark(app_name: str = "dlsh", parallelism: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 16384: the vectorized kernels amortize python/Arrow round-trip
-        # overhead with batch size — measured 1.2-1.8x on the 32-core
-        # signature stage vs 4096 (paired A/B, BENCH/BASELINE.md); memory
-        # stays modest (~200 MB/worker with 12 KB binary rows).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        # 1024: keeps each Arrow batch's worker live set under the ~10 MB
+        # allocator knee (same law as blob_scan.SLICE_ROWS — fresh multi-MB
+        # allocations serialize on kernel mmap faults across procs).
+        # Re-measured post-slicing-insight, interleaved min-fold at
+        # local[32]: blob-carrying signature stage 96k imgs 16384→6.3s,
+        # 2048→4.0s, 1024→3.8s, 512→3.5s; text-only and embedding stages
+        # flat-to-better at 1024 (entropy 2.05→1.72, ivfpq 4.53→4.03, knn
+        # flat). The round-2 choice of 16384 predated the slicing insight
+        # and was measured in a noisier protocol.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
