@@ -29,14 +29,28 @@ os.environ.update(_MALLOC_ENV)
 
 def get_spark(app_name: str = "dlsh", parallelism: int | None = None,
               shuffle_partitions: int | None = None,
-              extra_conf: dict | None = None) -> SparkSession:
+              extra_conf: dict | None = None,
+              master: str | None = None) -> SparkSession:
     """Local-mode session tuned per the scale guidance: AQE on (runtime
     re-plan + skew-join backstop), Arrow on (vectorized UDF transfer),
-    shuffle partitions sized to cores, not the 200 default."""
+    shuffle partitions sized to cores, not the 200 default.
+
+    ``master`` overrides the default ``local[parallelism]`` — used by the
+    bench's executor-level scaling evidence, which runs the stage on a
+    ``local-cluster[N, cores, mem]`` master: a real in-process standalone
+    cluster whose N executors are SEPARATE JVM processes, each with its
+    own memory, python workers and shuffle endpoints — the closest this
+    sandbox gets to the north rule's literal "N and 4N executors"."""
     cores = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder
+    # under spark-submit (PythonRunner exports the gateway port) the
+    # master/deploy config belongs to the submit command line — forcing
+    # local[n] here would silently turn a cluster submission into a
+    # local run; everywhere else default to local[cores]
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(master or f"local[{cores}]")
     builder = (
-        SparkSession.builder
-        .master(f"local[{cores}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.default.parallelism", str(cores))
