@@ -494,7 +494,15 @@ def write_bench_md(scaling: dict, folded: dict, times: dict, sf_dir: str) -> Non
         f"(steady-state record; same-work no-framework control at the same "
         f"pair: {scaling.get('host_ceiling', {}).get('record_efficiency_2_8', '—')}).",
         "",
-        f"Secondary pair (8, 32): stage efficiency "
+        f"**Quietest same-window (8, 32) pair** (both walls from ONE "
+        f"interleaved window, selected by min total wall — see "
+        f"BASELINE.md round-4 addendum): "
+        f"{scaling.get('quietest_pair', {}).get('secs8', '—')} s @8 → "
+        f"{scaling.get('quietest_pair', {}).get('secs32', '—')} s @32, "
+        f"**efficiency {scaling.get('efficiency_quietest_pair', '—')}**; "
+        f"per input size: {scaling.get('efficiency_quietest_pair_by_n', '—')}.",
+        "",
+        f"Secondary pair (8, 32), cross-window record walls: stage efficiency "
         f"{scaling['efficiency']:.3f} (steady-state record) against the "
         f"same-work no-framework control's "
         f"{scaling.get('host_ceiling', {}).get('record_efficiency', '—')} — "
