@@ -61,8 +61,11 @@ def hyperplane_bands(e: DataFrame, n_bands: int, bits: int, seed: int,
                      dims: int | None = None) -> DataFrame:
     """(id, vec) -> exploded (image_id, band_id, bucket): n_bands tables of
     ``bits`` sign bits each. One Arrow-batched matmul per batch."""
-    if dims is None:  # probe fallback — callers that know the width pass it
-        dims = len(e.select(vec_col).head()[0])
+    if dims is None:  # a probe here would run a hidden Spark job per
+        # pipeline construction; require the caller to state the width
+        raise ValueError(
+            "dims is required: pass the embedding width explicitly "
+            "(e.g. dims=64 for the testdata embeddings table)")
     planes = hyperplane_planes(seed, n_bands * bits, dims)
     weights = (1 << np.arange(bits)).astype(np.int64)
 

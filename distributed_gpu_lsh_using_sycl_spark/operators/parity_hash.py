@@ -97,10 +97,11 @@ def entropy_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
     spark = e.sparkSession
     src = e.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    if dims is None:  # fallback probe: one driver job; callers that
-        # know the width (LshConfig-scale pipelines) pass it to avoid
-        # N extra jobs per pipeline construction
-        dims = len(src.select("v").head()[0])
+    if dims is None:  # a probe here would run a hidden Spark job per
+        # pipeline construction; require the caller to state the width
+        raise ValueError(
+            "dims is required: pass the embedding width explicitly "
+            "(e.g. dims=64 for the testdata embeddings table)")
     pool, sel = H.entropy_params(seed, cfg.signature_pool_size, dims,
                                  cfg.num_bands, cfg.rows_per_band)
     cops = cfg.num_cut_off_points
@@ -199,10 +200,11 @@ def mixed_buckets_df(e: DataFrame, cfg: LshConfig, seed: int,
     spark = e.sparkSession
     src = e.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    if dims is None:  # fallback probe: one driver job; callers that
-        # know the width (LshConfig-scale pipelines) pass it to avoid
-        # N extra jobs per pipeline construction
-        dims = len(src.select("v").head()[0])
+    if dims is None:  # a probe here would run a hidden Spark job per
+        # pipeline construction; require the caller to state the width
+        raise ValueError(
+            "dims is required: pass the embedding width explicitly "
+            "(e.g. dims=64 for the testdata embeddings table)")
     pool, sel = H.mixed_params(seed, cfg.signature_pool_size, dims, cfg.w,
                                cfg.num_bands, cfg.rows_per_band)
     cops = cfg.num_cut_off_points
@@ -324,10 +326,11 @@ def rp_buckets_df(e: DataFrame, cfg: LshConfig,
     spark = e.sparkSession
     src = e.select(F.col(id_col).alias("vec_id"),
                    _affine01(F.col(vec_col).cast("array<double>")).alias("v"))
-    if dims is None:  # fallback probe: one driver job; callers that
-        # know the width (LshConfig-scale pipelines) pass it to avoid
-        # N extra jobs per pipeline construction
-        dims = len(src.select("v").head()[0])
+    if dims is None:  # a probe here would run a hidden Spark job per
+        # pipeline construction; require the caller to state the width
+        raise ValueError(
+            "dims is required: pass the embedding width explicitly "
+            "(e.g. dims=64 for the testdata embeddings table)")
     funcs_df = rp_funcs_df(spark, cfg, dims)
     # h = a.x + b >= 0 (|N| coeffs, [0,1] data, b in [0,w)) so floor ==
     # the C++ float->uint truncation; mask == u32 wrap.
@@ -445,10 +448,11 @@ def hyperplane_buckets_df(e: DataFrame, n_tables: int, bits: int, seed: int,
     spark = e.sparkSession
     src = e.select(F.col(id_col).alias("image_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    if dims is None:  # fallback probe: one driver job; callers that
-        # know the width (LshConfig-scale pipelines) pass it to avoid
-        # N extra jobs per pipeline construction
-        dims = len(src.select("v").head()[0])
+    if dims is None:  # a probe here would run a hidden Spark job per
+        # pipeline construction; require the caller to state the width
+        raise ValueError(
+            "dims is required: pass the embedding width explicitly "
+            "(e.g. dims=64 for the testdata embeddings table)")
     funcs_df = hyperplane_funcs_df(spark, n_tables, bits, seed, dims)
     bit = (src.crossJoin(F.broadcast(funcs_df))
            .select("image_id", "t",

@@ -135,23 +135,28 @@ def main(argv: list[str] | None = None) -> dict:
             T.StructType([T.StructField(ns.id_col, T.LongType()),
                           T.StructField(ns.vec_col,
                                         T.ArrayType(T.DoubleType()))]))
+        dims = len(raw.columns)
     elif (os.path.isfile(ns.file)
           and not ns.file.endswith(".parquet")):
         # the reference's own binary vector format (binary_parser.hpp)
         from distributed_gpu_lsh_using_sycl_spark.sources.binary_format import (
-            read_binary_vectors)
+            read_binary_vectors, read_header)
 
         e = read_binary_vectors(spark, ns.file, id_col=ns.id_col,
                                 vec_col=ns.vec_col)
+        dims = read_header(ns.file)[2]
     else:
         e = spark.read.parquet(ns.file)
+        # parquet's array<> schema doesn't carry the width; ONE explicit
+        # probe at the job level (operators refuse to probe implicitly)
+        dims = len(e.select(ns.vec_col).head()[0])
     e = e.select(ns.id_col, ns.vec_col)
     n = e.count()
     events.append(("read", time.perf_counter() - t))
 
     t = time.perf_counter()
     result = lsh_kneighbors(e, ns.knn, family=ns.hash_function, cfg=cfg,
-                            id_col=ns.id_col, vec_col=ns.vec_col
+                            id_col=ns.id_col, vec_col=ns.vec_col, dims=dims
                             ).localCheckpoint(eager=True)
     events.append(("fit_and_kneighbors", time.perf_counter() - t))
 

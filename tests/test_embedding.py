@@ -51,7 +51,8 @@ def test_neardup_lsh_reproduces_brute(spark, pts):
     assert len(truth) > 100  # planted dups are really there
 
     got = {(r["a"], r["b"]) for r in
-           neardup_pairs_lsh(_df(spark, pts), tau=tau).select("a", "b").collect()}
+           neardup_pairs_lsh(_df(spark, pts), tau=tau,
+                             dims=pts.shape[1]).select("a", "b").collect()}
     assert got == truth
 
 
@@ -70,7 +71,7 @@ def test_ann_topk_recall(spark, pts):
         truth[i] = set(int(j) for j in order)
 
     got = {}
-    for r in ann_topk_lsh(_df(spark, pts), k=k).collect():
+    for r in ann_topk_lsh(_df(spark, pts), k=k, dims=pts.shape[1]).collect():
         got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
     hits = sum(len(got.get(i, set()) & truth[i]) for i in range(n))
     recall = hits / (n * k)

@@ -56,7 +56,8 @@ def test_lsh_kneighbors_matches_reference_oracle(spark):
 
     pdf = pd.DataFrame({"vec_id": np.arange(N), "v": pts.tolist()})
     df = spark.createDataFrame(pdf)
-    got = (lsh_kneighbors(df, K, family="random_projections", cfg=CFG)
+    got = (lsh_kneighbors(df, K, family="random_projections", cfg=CFG,
+                          dims=DIMS)
            .toPandas().sort_values(["vec_id", "rank"]))
     got_m = got["neighbor_id"].to_numpy().reshape(N, K)
     assert got_m.shape == want.shape

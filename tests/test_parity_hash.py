@@ -40,7 +40,8 @@ def test_entropy_spark_equals_numpy(spark, pts):
                                  cfg.num_bands, cfg.rows_per_band)
     want = H.entropy_buckets_np(pts, pool, sel, cfg.num_cut_off_points,
                                 cfg.bucket_modulus)
-    got = _collect_buckets(entropy_buckets_df(_df(spark, pts), cfg, 7))
+    got = _collect_buckets(
+        entropy_buckets_df(_df(spark, pts), cfg, 7, dims=pts.shape[1]))
     assert len(got) == len(pts) * cfg.num_bands
     for (i, t), b in got.items():
         assert b == want[i, t], (i, t, b, want[i, t])
@@ -56,7 +57,8 @@ def test_mixed_spark_equals_numpy(spark, pts):
                                cfg.w, cfg.num_bands, cfg.rows_per_band)
     want = H.mixed_buckets_np(pts, pool, sel, cfg.w, cfg.num_cut_off_points,
                               cfg.bucket_modulus)
-    got = _collect_buckets(mixed_buckets_df(_df(spark, pts), cfg, 11))
+    got = _collect_buckets(
+        mixed_buckets_df(_df(spark, pts), cfg, 11, dims=pts.shape[1]))
     assert len(got) == len(pts) * cfg.num_bands
     for (i, t), b in got.items():
         assert b == want[i, t], (i, t, b, want[i, t])
@@ -108,7 +110,8 @@ def test_rp_buckets_df_equals_seqdot_numpy(spark, pts):
         _MASK, rp_buckets_df)
 
     cfg = LshConfig(num_bands=4, rows_per_band=5, signature_pool_size=8)
-    got = _collect_buckets(rp_buckets_df(_df(spark, pts), cfg))
+    got = _collect_buckets(rp_buckets_df(_df(spark, pts), cfg,
+                                          dims=pts.shape[1]))
 
     funcs = H.random_projection_pool(cfg.seed, cfg.num_bands, cfg.rows_per_band,
                                      cfg.signature_pool_size, pts.shape[1],
@@ -140,7 +143,8 @@ def test_hyperplane_buckets_df_equals_seqdot_numpy(spark, pts):
     signs = (proj > 0).reshape(len(pts), n_tables, bits)
     want = signs @ (1 << np.arange(bits)).astype(np.int64)
 
-    df = hyperplane_buckets_df(_df(spark, pts), n_tables, bits, seed)
+    df = hyperplane_buckets_df(_df(spark, pts), n_tables, bits, seed,
+                               dims=pts.shape[1])
     got = {(r["image_id"], r["band_id"]): r["bucket"] for r in df.collect()}
     for i in range(len(pts)):
         for t in range(n_tables):
@@ -169,12 +173,12 @@ def test_sampled_cutoffs_agree_with_exact(spark):
     for fn, kw in ((entropy_buckets_df, {}), (mixed_buckets_df, {"w": 0.7})):
         cfg = LshConfig(num_bands=8, rows_per_band=1, signature_pool_size=8,
                         num_cut_off_points=6, **kw)
-        exact = _collect_buckets(fn(_df(spark, pts), cfg, 7))
+        exact = _collect_buckets(fn(_df(spark, pts), cfg, 7, dims=16))
         scfg = dataclasses.replace(cfg, cutoff_sample_rate=0.5)
-        sampled = _collect_buckets(fn(_df(spark, pts), scfg, 7))
+        sampled = _collect_buckets(fn(_df(spark, pts), scfg, 7, dims=16))
         assert sampled.keys() == exact.keys()
         agree = sum(1 for k in exact if sampled[k] == exact[k]) / len(exact)
         assert agree >= 0.90, (fn.__name__, agree)
         # determinism of the sampled path itself
-        again = _collect_buckets(fn(_df(spark, pts), scfg, 7))
+        again = _collect_buckets(fn(_df(spark, pts), scfg, 7, dims=16))
         assert again == sampled
