@@ -597,6 +597,23 @@ def q_ivfpq_topk(spark, sf, k: int = 5):
                       dims=EMB_DIMS)
 
 
+def q_ivf_kcenter_topk(spark, sf, k: int = 5):
+    """IVF-flat with the DATA-ADAPTIVE quantizer: deterministic batched
+    farthest-first centers (embedding.kcenter_cents — the k-means||
+    schedule of kmeans.kcenter_init) swapped into ivf_topk's ``cents``
+    frame. Same assignment/probe/re-rank plan as q_ivf_topk — the swap
+    changes ONLY the quantizer input, proving the docstring's claim —
+    and the oracle (parity_hash.ivf_kcenter_oracle_sql) recomputes the
+    ENTIRE chain including the farthest-first init."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        ivf_topk, kcenter_cents)
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = kcenter_cents(e, n_centroids=16, rounds=2)
+    return ivf_topk(e, k=k, n_centroids=16, nprobe=4, cents=cents)
+
+
 def q_ann_recall(spark, sf, k: int = 5):
     """Scalar recall of the multi-table LSH ANN vs the brute-force top-k —
     the reference's own quality metric (% correct vs brute ground truth,
@@ -1021,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
+        "ivf_kcenter_topk": q_ivf_kcenter_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
         "lsh_knn": q_lsh_knn,
@@ -1115,7 +1133,8 @@ def _kmeans_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
         ann_oracle_sql, doc_simhash_oracle_sql, entropy_oracle_sql,
-        ivf_oracle_sql, ivfpq_oracle_sql, lsh_knn_oracle_sql,
+        ivf_kcenter_oracle_sql, ivf_oracle_sql, ivfpq_oracle_sql,
+        lsh_knn_oracle_sql,
         mixed_oracle_sql, rp_oracle_sql)
 
     video_glob = os.path.join(_ORACLE_EXPORT_BASE, _ORACLE_SF,
@@ -1281,6 +1300,8 @@ def oracle_sql() -> dict[str, str]:
                                        dims=EMB_DIMS, k=5),
         "ivf_topk": ivf_oracle_sql(dims=EMB_DIMS, k=5, n_centroids=16,
                                    nprobe=4),
+        "ivf_kcenter_topk": ivf_kcenter_oracle_sql(
+            dims=EMB_DIMS, k=5, n_centroids=16, nprobe=4, rounds=2),
         "ivfpq_topk": ivfpq_oracle_sql(dims=EMB_DIMS, k=5, n_centroids=16,
                                        nprobe=4, n_sub=8, ks=16),
         "ann_recall": f"""

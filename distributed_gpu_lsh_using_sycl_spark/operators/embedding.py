@@ -278,10 +278,30 @@ def diff_sq_col(a, b):
                        F.lit(0.0), lambda s, x: s + x)
 
 
+def kcenter_cents(e: DataFrame, n_centroids: int, rounds: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """Data-adaptive coarse quantizer / codebook for ``ivf_topk`` /
+    ``ivfpq_topk``: deterministic batched farthest-first centers
+    (``kmeans.kcenter_init`` — the k-means|| schedule with the
+    probabilistic draw replaced by the top-cost pick) in PICK order,
+    mapped back to original units (exact /2^20 division, so every engine
+    reproduces the values bit-for-bit). Swapping this frame in changes
+    ONLY the ``cents`` input — the assignment/probe/rank plan is
+    untouched, which is the promise both IVF docstrings make."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.kmeans import (
+        SCALE, _quantized, kcenter_init)
+
+    qdf = _quantized(e, id_col, vec_col).localCheckpoint(eager=True)
+    centers = kcenter_init(qdf, n_centroids, rounds)
+    rows = [(i, [x / SCALE for x in c]) for i, c in enumerate(centers)]
+    return e.sparkSession.createDataFrame(
+        rows, "cent_id long, cv array<double>")
+
+
 def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
                nprobe: int = 4, n_sub: int = 8, ks: int = 16,
                id_col: str = "vec_id", vec_col: str = "v",
-               dims: int = 64) -> DataFrame:
+               dims: int = 64, cents: DataFrame | None = None) -> DataFrame:
     """IVF-PQ approximate L2 top-k: coarse inverted-file probe +
     product-quantization ADC ranking — the compressed-domain scale path
     next to IVF-flat (ivf_topk) and hyperplane LSH (ann_topk_lsh),
@@ -290,7 +310,10 @@ def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
 
     Structure (all deterministic, so the DuckDB oracle recomputes it
     end-to-end — parity_hash.ivfpq_oracle_sql):
-    - coarse quantizer: the ``n_centroids`` smallest-id vectors; every
+    - coarse quantizer: the ``n_centroids`` smallest-id vectors (or the
+      injected ``cents`` frame of (cent_id, cv) rows — e.g.
+      ``kcenter_cents`` — which must carry max(n_centroids, ks) rows;
+      cent_id order doubles as both cell rank and code rank); every
       vector lands in the cell of its nearest centroid under sequential-
       fold squared L2 in fixed-point micros (centroid-rank tie-break);
       queries probe their ``nprobe`` nearest cells.
@@ -315,11 +338,16 @@ def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
     en = (e.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
           .localCheckpoint(eager=True))
-    wc = W.orderBy("vec_id")
-    cents = (en.orderBy("vec_id").limit(max(n_centroids, ks))
-             .withColumn("crank", F.row_number().over(wc) - 1)
-             .select("crank", F.col("v").alias("cv"))
-             .localCheckpoint(eager=True))  # tiny; also silences the
+    if cents is None:
+        wc = W.orderBy("vec_id")
+        cents = (en.orderBy("vec_id").limit(max(n_centroids, ks))
+                 .withColumn("crank", F.row_number().over(wc) - 1)
+                 .select("crank", F.col("v").alias("cv")))
+    else:
+        cents = cents.select(
+            F.col("cent_id").cast("long").alias("crank"),
+            F.col("cv").cast("array<double>").alias("cv"))
+    cents = cents.localCheckpoint(eager=True)  # tiny; also silences the
     # single-partition-window plan inside the reused broadcast subtree
 
     # ---- coarse cells: nearest of n_centroids under fold-L2 micros ----
@@ -373,7 +401,7 @@ def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
 
 def ivf_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "v") -> DataFrame:
+             vec_col: str = "v", cents: DataFrame | None = None) -> DataFrame:
     """IVF-flat approximate cosine top-k — the coarse-quantizer scale path
     next to the LSH one (ann_topk_lsh).
 
@@ -393,9 +421,16 @@ def ivf_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
     en = with_norm(e.select(F.col(id_col).alias("vec_id"),
                             F.col(vec_col).alias("v")),
                    "v").localCheckpoint(eager=True)
-    cents = (en.orderBy("vec_id").limit(n_centroids)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+    if cents is None:
+        cents = (en.orderBy("vec_id").limit(n_centroids)
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("v").alias("cv"),
+                         F.col("norm").alias("cnorm")))
+    else:  # injected quantizer (e.g. kcenter_cents): same fold-norm
+        cents = (cents.select(F.col("cent_id").cast("long"),
+                              F.col("cv").cast("array<double>"))
+                 .withColumn("cnorm",
+                             F.sqrt(dot_col(F.col("cv"), F.col("cv")))))
     simc = (en.crossJoin(F.broadcast(cents))
             .withColumn("csim", F.round(dot_col(F.col("v"), F.col("cv"))
                                         / (F.col("norm") * F.col("cnorm")), 6)))

@@ -566,6 +566,84 @@ select vec_id, neighbor_id, rank, sim from (
   from sims) where rank <= {k}"""
 
 
+def ivf_kcenter_oracle_sql(dims: int, k: int = 5, n_centroids: int = 16,
+                           nprobe: int = 4, rounds: int = 2,
+                           table: str = "embeddings",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> str:
+    """DuckDB SQL recomputing ``embedding.ivf_topk`` with the
+    DATA-ADAPTIVE quantizer (``embedding.kcenter_cents``): the batched
+    deterministic farthest-first init chain (identical to
+    kmeans_oracle_sql's kcenter branch — fixed-point quantization, exact
+    double distances, (dist desc, vec_id) picks), centers mapped back to
+    original units by an exact /2^20, then the same rounded-cosine
+    assignment / nprobe probe / exact re-rank as ivf_oracle_sql. Proves
+    the docstrings' claim that swapping the quantizer changes only the
+    ``cents`` frame: the ranking SQL below is ivf_oracle_sql's
+    verbatim, only ``cents`` differs."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.kmeans import (
+        SCALE, _round_sizes)
+
+    dsq_i = (f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+             f"range(1, {dims + 1}), i -> (p.q[i]::DOUBLE - c.q[i]::DOUBLE)"
+             f" * (p.q[i]::DOUBLE - c.q[i]::DOUBLE))), (a, x) -> a + x)")
+    parts = [f"""q0 as materialized (select {id_col} as vec_id,
+    list_transform({vec_col}::DOUBLE[], x -> round(x * {SCALE})::BIGINT) q
+  from {table})""",
+             """ks0 as materialized (
+  select vec_id, q, 0 as r, 0 as rk from q0 order by vec_id limit 1)"""]
+    prev_s = "ks0"
+    for ri, batch in enumerate(_round_sizes(n_centroids, rounds), 1):
+        if batch <= 0:
+            continue
+        parts.append(f"""d_i{ri} as materialized (
+  select p.vec_id, any_value(p.q) as q, min({dsq_i}) as dist
+  from q0 p cross join {prev_s} c
+  where p.vec_id not in (select vec_id from {prev_s})
+  group by p.vec_id),
+p_i{ri} as materialized (
+  select vec_id, q, {ri} as r,
+         row_number() over (order by dist desc, vec_id) as rk
+  from d_i{ri} order by dist desc, vec_id limit {batch}),
+ks{ri} as materialized (select * from {prev_s} union all
+          select vec_id, q, r, rk from p_i{ri})""")
+        prev_s = f"ks{ri}"
+    dv = f"list_transform({vec_col}, x -> x::DOUBLE)"
+    fold = _sql_fold("a.v", "b.v", dims)
+    parts.append(f"""cents as materialized (
+  select row_number() over (order by r, rk) - 1 as cent_id,
+         list_transform(q, x -> x::DOUBLE / {SCALE}) as cv
+  from {prev_s}),
+centn as materialized (
+  select cent_id, cv, sqrt({_sql_fold('cv', 'cv', dims)}) as cnorm
+  from cents),
+vec as materialized (select {id_col} as vec_id, {dv} as v,
+               sqrt({_sql_fold(dv, dv, dims)}) as norm
+             from {table}),
+simc as materialized (select v.vec_id, c.cent_id,
+           round({_sql_fold('v.v', 'c.cv', dims)} / (v.norm * c.cnorm), 6)
+             as csim
+         from vec v cross join centn c),
+ranked as materialized (select vec_id, cent_id, row_number() over
+             (partition by vec_id order by csim desc, cent_id) as rn
+           from simc),
+assign as (select vec_id as m, cent_id from ranked where rn = 1),
+probes as (select vec_id as q, cent_id from ranked where rn <= {nprobe}),
+cand as materialized (
+  select distinct p.q, a.m from probes p join assign a using (cent_id)
+         where p.q <> a.m),
+sims as (select c.q as vec_id, c.m as neighbor_id,
+           round({fold} / (a.norm * b.norm), 6) as sim
+         from cand c join vec a on a.vec_id = c.q
+              join vec b on b.vec_id = c.m)""")
+    return ("with " + ",\n".join(parts) + """
+select vec_id, neighbor_id, rank, sim from (
+  select vec_id, neighbor_id, sim,
+    row_number() over (partition by vec_id
+                       order by sim desc, neighbor_id)::INTEGER as rank
+  from sims) where rank <= """ + str(k))
+
+
 def _sql_fold_diff(a: str, b: str, n: int, off: str = "0") -> str:
     """Sequential-fold squared L2 distance of two DOUBLE[] expressions
     over ``n`` dims starting after offset ``off`` (a SQL expression) —
