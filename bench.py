@@ -30,6 +30,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -444,6 +445,31 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()  # drop persists left by query builders
+
+    # Reference-format interop path: the SAME kNN as the lsh_knn row but
+    # reading the reference's raw .bin vector file (sources/binary_format,
+    # binary_parser.hpp analog) instead of parquet — one perf record for
+    # the last-added I/O surface. The .bin file itself is prepared outside
+    # the timed region (it is input data, not the operator under test).
+    from distributed_gpu_lsh_using_sycl_spark.operators.lsh_knn import (
+        lsh_kneighbors)
+    from distributed_gpu_lsh_using_sycl_spark.sources.binary_format import (
+        read_binary_vectors, write_binary_vectors)
+
+    bin_path = os.path.join(
+        tempfile.gettempdir(),
+        f"dlsh_bench_{os.path.basename(sf_dir.rstrip('/'))}_embeddings.bin")
+    if not os.path.exists(bin_path):
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", "embedding")
+        write_binary_vectors(emb, bin_path, dims=E.EMB_DIMS)
+    t0 = time.perf_counter()
+    e = read_binary_vectors(spark, bin_path)
+    lsh_kneighbors(e, 5, family="random_projections", cfg=E._parity_cfg(),
+                   vec_col="embedding", dims=E.EMB_DIMS) \
+        .write.format("noop").mode("overwrite").save()
+    times["bin_interop_lsh_knn"] = round(time.perf_counter() - t0, 2)
     spark.stop()
     return times
 
