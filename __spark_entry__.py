@@ -614,6 +614,23 @@ def q_ivf_kcenter_topk(spark, sf, k: int = 5):
     return ivf_topk(e, k=k, n_centroids=16, nprobe=4, cents=cents)
 
 
+def q_ivfpq_kcenter_topk(spark, sf, k: int = 5):
+    """IVF-PQ with the DATA-ADAPTIVE quantizer/codebook source: the
+    max(n_centroids, ks) farthest-first centers (embedding.kcenter_cents)
+    swapped into ivfpq_topk's ``cents`` frame — coarse cells AND PQ
+    codebooks both derive from it, exactly like the smallest-id parity
+    mode. The oracle (parity_hash.ivfpq_kcenter_oracle_sql) recomputes
+    the farthest-first chain plus the verbatim PQ ranking chain."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        ivfpq_topk, kcenter_cents)
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = kcenter_cents(e, n_centroids=16, rounds=2)
+    return ivfpq_topk(e, k=k, n_centroids=16, nprobe=4, n_sub=8, ks=16,
+                      dims=EMB_DIMS, cents=cents)
+
+
 def q_ann_recall(spark, sf, k: int = 5):
     """Scalar recall of the multi-table LSH ANN vs the brute-force top-k —
     the reference's own quality metric (% correct vs brute ground truth,
@@ -1040,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_kcenter_topk": q_ivf_kcenter_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_kcenter_topk": q_ivfpq_kcenter_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
         "lsh_knn": q_lsh_knn,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1133,8 +1151,8 @@ def _kmeans_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
         ann_oracle_sql, doc_simhash_oracle_sql, entropy_oracle_sql,
-        ivf_kcenter_oracle_sql, ivf_oracle_sql, ivfpq_oracle_sql,
-        lsh_knn_oracle_sql,
+        ivf_kcenter_oracle_sql, ivf_oracle_sql, ivfpq_kcenter_oracle_sql,
+        ivfpq_oracle_sql, lsh_knn_oracle_sql,
         mixed_oracle_sql, rp_oracle_sql)
 
     video_glob = os.path.join(_ORACLE_EXPORT_BASE, _ORACLE_SF,
@@ -1304,6 +1322,9 @@ def oracle_sql() -> dict[str, str]:
             dims=EMB_DIMS, k=5, n_centroids=16, nprobe=4, rounds=2),
         "ivfpq_topk": ivfpq_oracle_sql(dims=EMB_DIMS, k=5, n_centroids=16,
                                        nprobe=4, n_sub=8, ks=16),
+        "ivfpq_kcenter_topk": ivfpq_kcenter_oracle_sql(
+            dims=EMB_DIMS, k=5, n_centroids=16, nprobe=4, n_sub=8, ks=16,
+            rounds=2),
         "ann_recall": f"""
             with b as (select vec_id, neighbor_id from ({_KNN_SQL}) t),
                  a as (select vec_id, neighbor_id from (

@@ -566,21 +566,16 @@ select vec_id, neighbor_id, rank, sim from (
   from sims) where rank <= {k}"""
 
 
-def ivf_kcenter_oracle_sql(dims: int, k: int = 5, n_centroids: int = 16,
-                           nprobe: int = 4, rounds: int = 2,
-                           table: str = "embeddings",
-                           id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> str:
-    """DuckDB SQL recomputing ``embedding.ivf_topk`` with the
-    DATA-ADAPTIVE quantizer (``embedding.kcenter_cents``): the batched
-    deterministic farthest-first init chain (identical to
+def _kcenter_cents_parts(dims: int, n_cents: int, rounds: int, table: str,
+                         id_col: str, vec_col: str,
+                         rank_name: str) -> list[str]:
+    """CTE chain computing ``embedding.kcenter_cents`` in DuckDB: the
+    batched deterministic farthest-first init (identical to
     kmeans_oracle_sql's kcenter branch — fixed-point quantization, exact
-    double distances, (dist desc, vec_id) picks), centers mapped back to
-    original units by an exact /2^20, then the same rounded-cosine
-    assignment / nprobe probe / exact re-rank as ivf_oracle_sql. Proves
-    the docstrings' claim that swapping the quantizer changes only the
-    ``cents`` frame: the ranking SQL below is ivf_oracle_sql's
-    verbatim, only ``cents`` differs."""
+    double distances, (dist desc, vec_id) picks), ending in a ``cents``
+    CTE of (``rank_name`` = pick order, cv = centers mapped back to
+    original units by an exact /2^20). Shared by the IVF-flat and
+    IVF-PQ kcenter oracles."""
     from distributed_gpu_lsh_using_sycl_spark.operators.kmeans import (
         SCALE, _round_sizes)
 
@@ -593,7 +588,7 @@ def ivf_kcenter_oracle_sql(dims: int, k: int = 5, n_centroids: int = 16,
              """ks0 as materialized (
   select vec_id, q, 0 as r, 0 as rk from q0 order by vec_id limit 1)"""]
     prev_s = "ks0"
-    for ri, batch in enumerate(_round_sizes(n_centroids, rounds), 1):
+    for ri, batch in enumerate(_round_sizes(n_cents, rounds), 1):
         if batch <= 0:
             continue
         parts.append(f"""d_i{ri} as materialized (
@@ -608,13 +603,30 @@ p_i{ri} as materialized (
 ks{ri} as materialized (select * from {prev_s} union all
           select vec_id, q, r, rk from p_i{ri})""")
         prev_s = f"ks{ri}"
+    parts.append(f"""cents as materialized (
+  select row_number() over (order by r, rk) - 1 as {rank_name},
+         list_transform(q, x -> x::DOUBLE / {SCALE}) as cv
+  from {prev_s})""")
+    return parts
+
+
+def ivf_kcenter_oracle_sql(dims: int, k: int = 5, n_centroids: int = 16,
+                           nprobe: int = 4, rounds: int = 2,
+                           table: str = "embeddings",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> str:
+    """DuckDB SQL recomputing ``embedding.ivf_topk`` with the
+    DATA-ADAPTIVE quantizer (``embedding.kcenter_cents``,
+    ``_kcenter_cents_parts``), then the same rounded-cosine assignment /
+    nprobe probe / exact re-rank as ivf_oracle_sql. Proves the
+    docstrings' claim that swapping the quantizer changes only the
+    ``cents`` frame: the ranking SQL below is ivf_oracle_sql's verbatim,
+    only ``cents`` differs."""
+    parts = _kcenter_cents_parts(dims, n_centroids, rounds, table,
+                                 id_col, vec_col, rank_name="cent_id")
     dv = f"list_transform({vec_col}, x -> x::DOUBLE)"
     fold = _sql_fold("a.v", "b.v", dims)
-    parts.append(f"""cents as materialized (
-  select row_number() over (order by r, rk) - 1 as cent_id,
-         list_transform(q, x -> x::DOUBLE / {SCALE}) as cv
-  from {prev_s}),
-centn as materialized (
+    parts.append(f"""centn as materialized (
   select cent_id, cv, sqrt({_sql_fold('cv', 'cv', dims)}) as cnorm
   from cents),
 vec as materialized (select {id_col} as vec_id, {dv} as v,
@@ -663,17 +675,50 @@ def ivfpq_oracle_sql(dims: int, k: int = 5, n_centroids: int = 16,
     sequential fold), argmin codes with rank tie-break, integer ADC sums,
     (adc asc, id asc) ranking. CTEs are materialized — DuckDB re-inlines
     deep chains exponentially otherwise."""
+    vec = (f"""vec as materialized (
+  select {id_col} as vec_id, list_transform({vec_col}, x -> x::DOUBLE) as v
+  from {table})""")
+    cents = (f"""cents as materialized (
+  select row_number() over (order by vec_id) - 1 as crank, v as cv
+  from (select * from vec order by vec_id limit {max(n_centroids, ks)}))""")
+    return ("with " + ",\n".join(
+        [vec, cents]
+        + _ivfpq_chain_parts(dims, n_centroids, nprobe, n_sub, ks))
+        + _ivfpq_final(k))
+
+
+def ivfpq_kcenter_oracle_sql(dims: int, k: int = 5, n_centroids: int = 16,
+                             nprobe: int = 4, n_sub: int = 8, ks: int = 16,
+                             rounds: int = 2, table: str = "embeddings",
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> str:
+    """DuckDB SQL recomputing ``embedding.ivfpq_topk`` with the
+    DATA-ADAPTIVE coarse quantizer AND PQ codebook source
+    (``embedding.kcenter_cents`` over max(n_centroids, ks) centers):
+    the shared farthest-first init chain (``_kcenter_cents_parts``)
+    followed by ivfpq_oracle_sql's ranking chain VERBATIM
+    (``_ivfpq_chain_parts``) — only the ``cents`` CTE differs, proving
+    the swap touches nothing else."""
+    parts = _kcenter_cents_parts(dims, max(n_centroids, ks), rounds, table,
+                                 id_col, vec_col, rank_name="crank")
+    parts.append(f"""vec as materialized (
+  select {id_col} as vec_id, list_transform({vec_col}, x -> x::DOUBLE) as v
+  from {table})""")
+    return ("with " + ",\n".join(
+        parts + _ivfpq_chain_parts(dims, n_centroids, nprobe, n_sub, ks))
+        + _ivfpq_final(k))
+
+
+def _ivfpq_chain_parts(dims: int, n_centroids: int, nprobe: int,
+                       n_sub: int, ks: int) -> list[str]:
+    """The IVF-PQ ranking chain (coarse cells → probe candidates → PQ
+    sub-distances → codes → ADC sums) as CTEs over two predecessors:
+    ``vec(vec_id, v)`` and ``cents(crank, cv)``. Shared verbatim by the
+    smallest-id and kcenter oracles."""
     sub = dims // n_sub
     cfold = _sql_fold_diff("v.v", "c.cv", dims)
     sfold = _sql_fold_diff("v.v", "s.scv", sub, off="s.sub_m*" + str(sub))
-    return f"""
-with vec as materialized (
-  select {id_col} as vec_id, list_transform({vec_col}, x -> x::DOUBLE) as v
-  from {table}),
-cents as materialized (
-  select row_number() over (order by vec_id) - 1 as crank, v as cv
-  from (select * from vec order by vec_id limit {max(n_centroids, ks)})),
-csd as materialized (
+    return [f"""csd as materialized (
   select v.vec_id,
     cast(round({cfold} * 1000000) as bigint) * {n_centroids} + c.crank as key
   from vec v cross join (select * from cents where crank < {n_centroids}) c),
@@ -702,7 +747,11 @@ adc as materialized (
   from cand cd
   join codes co on co.xid = cd.x
   join subd d on d.vec_id = cd.q and d.sub_m = co.sub_m and d.c = co.code
-  group by cd.q, cd.x)
+  group by cd.q, cd.x)"""]
+
+
+def _ivfpq_final(k: int) -> str:
+    return f"""
 select q as vec_id, x as neighbor_id, rank, adc_dist from (
   select q, x, row_number() over (partition by q order by adci, x)::INTEGER
            as rank,
