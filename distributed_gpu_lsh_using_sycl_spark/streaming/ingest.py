@@ -39,18 +39,23 @@ IMAGES_SCHEMA = T.StructType([
 
 def signature_stream(spark: SparkSession, input_dir: str, out_dir: str,
                      checkpoint_dir: str, cfg: LshConfig | None = None,
-                     with_image: bool = True, available_now: bool = True):
+                     with_image: bool = True, available_now: bool = True,
+                     max_files_per_trigger: int | None = None):
     """readStream(parquet dir) -> compute_signatures -> append parquet.
 
     ``available_now=True`` drains everything currently present and stops
     (the testable batch-incremental mode); False runs continuously.
+    ``max_files_per_trigger`` splits a drain into smaller micro-batches;
+    leave None for throughput (signing is stateless, so splitting only
+    adds per-batch commit overhead) and set it in continuous mode when
+    per-batch latency, not drain throughput, is the target.
     Returns the StreamingQuery.
     """
     cfg = cfg or LshConfig()
-    stream = (spark.readStream
-              .schema(IMAGES_SCHEMA)
-              .option("maxFilesPerTrigger", 16)
-              .parquet(input_dir))
+    reader = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     sigs = compute_signatures(stream, cfg, with_image=with_image)
     writer = (sigs.writeStream
               .format("parquet")

@@ -102,26 +102,32 @@ def _make_emit(cap: int):
             table = {}
         grew = False
         rows: list[tuple[str, str, int]] = []
+        seen_sets: dict[int, set] = {}
         for pdf in pdfs:
-            # one Python dispatch covers every bucket in the coarse key;
-            # sort=False keeps arrival order within each bucket
-            for bucket, sub in pdf.groupby("bucket", sort=False):
+            # single flat pass in arrival order: a pandas groupby here
+            # allocates a sub-DataFrame per bucket, which dominates when
+            # ~every bucket has ONE row in the batch (the measured common
+            # case); per-bucket admission order — and therefore the pair
+            # set — is identical either way
+            for bucket, iid in zip(pdf["bucket"].to_numpy(),
+                                   pdf["image_id"].to_numpy()):
                 bucket = int(bucket)
                 members = table.get(bucket)
                 if members is None:
                     members = table[bucket] = []
-                seen = set(members)
-                for iid in sub["image_id"].tolist():
-                    if iid in seen:
-                        continue  # re-observation (replay / duplicate file)
-                    if cap > 0 and len(seen) >= cap:
-                        continue  # degenerate bucket: stop admitting
-                    for m in members:
-                        rows.append((iid, m, bucket) if iid < m
-                                    else (m, iid, bucket))
-                    members.append(iid)
-                    seen.add(iid)
-                    grew = True
+                seen = seen_sets.get(bucket)
+                if seen is None:  # built once per invocation per bucket
+                    seen = seen_sets[bucket] = set(members)
+                if iid in seen:
+                    continue  # re-observation (replay / duplicate file)
+                if cap > 0 and len(seen) >= cap:
+                    continue  # degenerate bucket: stop admitting
+                for m in members:
+                    rows.append((iid, m, bucket) if iid < m
+                                else (m, iid, bucket))
+                members.append(iid)
+                seen.add(iid)
+                grew = True
         # Most buckets are singletons: most drains admit members but emit
         # no pair. Skip the no-op state write and the empty-frame yield —
         # a pandas DataFrame construction per pair-less group dominated
@@ -166,20 +172,30 @@ def incremental_candidates(bands_stream: DataFrame,
 
 def candidate_pair_stream(spark, input_dir: str, out_dir: str,
                           checkpoint_dir: str, cfg: LshConfig | None = None,
-                          available_now: bool = True):
+                          available_now: bool = True,
+                          max_files_per_trigger: int | None = None):
     """readStream(signatures parquet: image_id, buckets array<long>) ->
     explode bands -> stateful incremental bucket join -> append parquet.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery.
+
+    ``max_files_per_trigger`` splits a drain into smaller micro-batches.
+    Leave None for drain throughput: EVERY micro-batch pays one state
+    get+commit and one Python emit per touched key, and a full drain
+    touches ~every coarse key, so k micro-batches cost ~k× the stateful
+    stage's per-key overhead for the same admitted members (the pair set
+    itself is trigger-invariant — asserted in
+    tests/test_resume_and_streaming.py). Set it in continuous mode when
+    per-batch latency or per-batch state-delta size is the target."""
     cfg = cfg or LshConfig()
     _check_state_version(checkpoint_dir)
     sigs_schema = T.StructType([
         T.StructField("image_id", T.StringType(), False),
         T.StructField("buckets", T.ArrayType(T.LongType()), True),
     ])
-    stream = (spark.readStream
-              .schema(sigs_schema)
-              .option("maxFilesPerTrigger", 16)
-              .parquet(input_dir))
+    reader = spark.readStream.schema(sigs_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     bands = (stream
              .filter(F.col("buckets").isNotNull())
              .select("image_id",

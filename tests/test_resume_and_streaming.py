@@ -145,6 +145,17 @@ def test_stateful_incremental_candidates(spark, images_df, tmp_path_factory):
     # once per (band,bucket): no duplicate emissions under replay-safe state
     keyed = [(r["a"], r["b"], r["band_id"], r["bucket"]) for r in got_rows]
     assert len(keyed) == len(set(keyed))
+    # trigger-invariance: force 1-file micro-batches over the SAME input;
+    # the emitted distinct pair set must not change (splitting a drain
+    # multiplies per-key state round-trips, never alters the semantics)
+    out_split = str(base / "pairs_out_split")
+    ckpt_split = str(base / "ckpt_split")
+    q = candidate_pair_stream(spark, in_dir, out_split, ckpt_split, CFG,
+                              max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got_split = {(r["a"], r["b"]) for r in
+                 spark.read.parquet(out_split).collect()}
+    assert got_split == batch
 
 
 def test_streaming_e2e_dedup_equals_batch(spark, tmp_path_factory):
