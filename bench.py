@@ -402,7 +402,11 @@ def host_parallel_ceiling(fixture: str, n_images: int,
     return out
 
 
-def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
+def headline_queries(sf_dir: str, cores: int,
+                     only: list[str] | None = None) -> dict[str, float]:
+    """Time the headline set (or the ``only`` subset — targeted re-runs
+    min-fold into the same steady-state record, so sharpening one query
+    never costs a full sweep)."""
     import __spark_entry__ as E
 
     spark = _spark(cores)
@@ -419,6 +423,11 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
              # flagship last: the full staged pipeline (blob-scan
              # signature stage via scan_path, see q_e2e_caption_dedup)
              "e2e_caption_dedup"]
+    if only:
+        unknown = set(only) - set(picks) - {"bin_interop_lsh_knn"}
+        if unknown:
+            raise SystemExit(f"--only: not headline queries: {sorted(unknown)}")
+        picks = [p for p in picks if p in only]
     qs = E.queries()
     # Warm the python worker pool THROUGH the real UDF path: workers are
     # forked lazily and each pays numpy/pandas/engine imports plus scratch
@@ -451,6 +460,9 @@ def headline_queries(sf_dir: str, cores: int) -> dict[str, float]:
     # binary_parser.hpp analog) instead of parquet — one perf record for
     # the last-added I/O surface. The .bin file itself is prepared outside
     # the timed region (it is input data, not the operator under test).
+    if only is not None and "bin_interop_lsh_knn" not in only:
+        spark.stop()
+        return times
     from distributed_gpu_lsh_using_sycl_spark.operators.lsh_knn import (
         lsh_kneighbors)
     from distributed_gpu_lsh_using_sycl_spark.sources.binary_format import (
@@ -588,6 +600,9 @@ def main() -> None:
     # large-input strong-scaling point, where a 2-core round costs ~15 min
     # and the (8,32) pair is the number being sharpened
     ap.add_argument("--skip-2core", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated headline-query subset to "
+                         "re-measure (min-folds into the record)")
     args = ap.parse_args()
 
     if args.stage_worker:
@@ -599,7 +614,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     skip_queries = args.scaling_only or args.exec_scaling_only
-    times = {} if skip_queries else headline_queries(sf_dir, cpus)
+    times = {} if skip_queries else headline_queries(
+        sf_dir, cpus, only=args.only.split(",") if args.only else None)
 
     scaling = None
     if not (args.skip_scaling or args.exec_scaling_only):
@@ -729,10 +745,12 @@ def main() -> None:
         # headline = steady-state record (min across runs of the identical
         # deterministic workload — see RECORD_PATH comment); this single
         # run's window is reported alongside, never hidden
-        "value": round(sum(folded.values()), 2),
+        # an --only subset run still reports the FULL record so the
+        # headline stays comparable across runs
+        "value": round(sum(rec["queries"].values()), 2),
         "value_this_run": round(sum(times.values()), 2),
         "unit": "sec",
-        "queries": folded,
+        "queries": dict(sorted(rec["queries"].items())),
         "sf": sf_dir,
     }
     if scaling:
