@@ -414,7 +414,8 @@ def headline_queries(sf_dir: str, cores: int,
              "dedup_substring_pairs", "lcs_window_pairs",
              "doc_simhash_pairs", "cc_clusters", "lang_id", "token_counts",
              "knn_block_matmul_topk", "ann_lsh_topk", "ivf_topk",
-             "ivfpq_topk", "lsh_knn",
+             "ivf_kcenter_topk", "ivfpq_topk", "ivfpq_kcenter_topk",
+             "lsh_knn",
              "embedding_neardup_lsh_pairs",
              "entropy_lsh_buckets", "mixed_lsh_buckets", "image_phash_pairs",
              "kmeans_clusters", "streaming_dedup_clusters",
