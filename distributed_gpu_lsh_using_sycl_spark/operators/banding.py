@@ -174,6 +174,18 @@ def hash_band_pairs(signatures: DataFrame, hash_col: str, cfg: LshConfig,
     order of magnitude fewer candidate pairs (measured 835k -> ~80k on
     the sf0.1 documents). combine=1 keeps the classic one-band scheme.
     """
+    bands = bit_bands(signatures, hash_col, cfg, n_bands=n_bands,
+                      combine=combine)
+    return candidate_pairs_from_bands(bands, cfg, source=source)
+
+
+def bit_bands(signatures: DataFrame, hash_col: str, cfg: LshConfig,
+              n_bands: int | None = None, combine: int = 2) -> DataFrame:
+    """The (image_id, band_id, bucket) frame hash_band_pairs joins on —
+    exposed so callers can also run the drop accounting
+    (``downsample_dropped``) over the SAME banding a capped candidate
+    join saw (the pipeline's no-silent-caps rule applies to the bit-band
+    paths exactly as to the MinHash path)."""
     if n_bands is None:
         n_bands = cfg.hamming_threshold + combine
     base = signatures.filter(F.col(hash_col).isNotNull()).select(
@@ -192,6 +204,5 @@ def hash_band_pairs(signatures: DataFrame, hash_col: str, cfg: LshConfig,
                 for i in range(n_bands) for j in range(i + 1, n_bands)]
     else:
         raise ValueError(f"combine must be 1 or 2, got {combine}")
-    bands = base.select(
+    return base.select(
         "image_id", F.posexplode(F.array(*keys)).alias("band_id", "bucket"))
-    return candidate_pairs_from_bands(bands, cfg, source=source)

@@ -164,24 +164,30 @@ class DedupPipeline:
         t["cand_minhash"] = self._stage(
             "cand_minhash",
             lambda: banding.candidate_pairs_from_bands(t["bands"], cfg, source="minhash"))
-        if cfg.max_bucket_size > 0:
+        def record_drops(stage: str, bands_df: DataFrame) -> None:
             # no-silent-caps: the degenerate-bucket down-sample's exact drop
-            # count goes into metrics (one cheap aggregate over the already
-            # materialized bands stage).
+            # count goes into metrics (one cheap aggregate over the banding
+            # frame the capped candidate join saw).
+            if cfg.max_bucket_size <= 0:
+                return
             t0 = time.perf_counter()
-            n_dropped = (banding.downsample_dropped(t["bands"], cfg)
+            n_dropped = (banding.downsample_dropped(bands_df, cfg)
                          .agg(F.coalesce(F.sum("dropped"), F.lit(0)))
                          .collect()[0][0])
-            self._record("cand_minhash:dropped", "INFO", int(n_dropped),
+            self._record(f"{stage}:dropped", "INFO", int(n_dropped),
                          int((time.perf_counter() - t0) * 1000))
+
+        record_drops("cand_minhash", t["bands"])
 
         if self.with_image:
             t["cand_simhash"] = self._stage(
                 "cand_simhash",
                 lambda: banding.hash_band_pairs(sigs, "simhash", cfg, source="simhash"))
+            record_drops("cand_simhash", banding.bit_bands(sigs, "simhash", cfg))
             t["cand_phash"] = self._stage(
                 "cand_phash",
                 lambda: banding.hash_band_pairs(sigs, "phash", cfg, source="phash"))
+            record_drops("cand_phash", banding.bit_bands(sigs, "phash", cfg))
 
         docs = images.select(F.col(self.id_col).alias("image_id"),
                              F.col(self.text_col).alias("caption"))
