@@ -335,6 +335,18 @@ def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
     """
     assert dims % n_sub == 0, "dims must split evenly into subspaces"
     sub = dims // n_sub
+    if cents is not None:
+        # the frame doubles as coarse quantizer AND PQ codebook source:
+        # fewer than max(n_centroids, ks) rows would silently underfill
+        # the codebook and desync from the oracle's max(n_centroids, ks)
+        # centers — fail loudly at plan-build time instead.
+        n_cents = cents.count()
+        if n_cents < max(n_centroids, ks):
+            raise ValueError(
+                f"ivfpq_topk cents frame has {n_cents} rows but must carry "
+                f"max(n_centroids={n_centroids}, ks={ks}) = "
+                f"{max(n_centroids, ks)} (cent_id order is both cell rank "
+                "and PQ code rank)")
     en = (e.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
           .localCheckpoint(eager=True))

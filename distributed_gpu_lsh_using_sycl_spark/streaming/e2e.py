@@ -27,7 +27,12 @@ is the north rule's resumable-pipeline surface driven by streams):
    Adjudications are append-only and idempotent: a crash between the
    append and the cluster write at worst re-verifies one wave (the
    anti-join skips whatever landed) or leaves duplicate adjudication
-   rows, which the distinct() in verified_edges absorbs.
+   rows, which the distinct() in verified_edges absorbs. The table is
+   config-fingerprint stamped (_check_adj_fingerprint — a threshold
+   change refuses to reuse stale verdicts instead of silently merging
+   wrong clusters) and compacted once its wave-append file count passes
+   _ADJ_COMPACT_FILES, so a scheduler running thousands of cycles never
+   accretes unbounded small files.
 
 Each ``streaming_dedup_cycle`` call is one availableNow drain of stages
 1+2 plus one reconcile — the "micro-batch dedup" loop a scheduler would
@@ -56,6 +61,88 @@ def _await_drained(q, timeout_s: int) -> None:
         raise TimeoutError(
             f"streaming stage {q.name or q.id} did not drain within "
             f"{timeout_s}s; stopped it rather than read partial stage tables")
+
+
+#: Adjudicated-table layout/semantics version. BUMP whenever the
+#: verify_pairs output schema changes — persisted verdicts written under
+#: another layout must not be silently reused.
+ADJ_FORMAT_VERSION = 1
+_ADJ_STAMP_FILE = "_DLSH_ADJ_FINGERPRINT"
+#: Compact the adjudicated table once its parquet part-file count passes
+#: this bound — append-only waves otherwise grow file listings and footer
+#: reads without limit at scheduler cycle counts (thousands of waves).
+_ADJ_COMPACT_FILES = 48
+
+
+def _adj_fingerprint(cfg: LshConfig) -> str:
+    """What a persisted verdict's validity depends on: the adjudicated
+    layout version plus the FULL LshConfig hash (jaccard/hamming
+    thresholds, shingle size, signature config — a verdict computed under
+    any other config is wrong to reuse)."""
+    return f"v{ADJ_FORMAT_VERSION}:{cfg.config_hash()}"
+
+
+def _check_adj_fingerprint(adjudicated_dir: str, cfg: LshConfig) -> None:
+    """Stamp a fresh adjudicated dir with the config fingerprint; refuse a
+    non-empty one stamped otherwise (or pre-stamp) — the anti-join would
+    otherwise silently reuse verdicts computed under a different
+    jaccard/hamming config and the clusters would come out wrong with no
+    error at all (the exact failure _check_state_version guards for the
+    state store). Local-FS only, same contract as _check_state_version."""
+    if "://" in adjudicated_dir:
+        raise ValueError(
+            f"adjudicated dir {adjudicated_dir!r} is a URI; the config-"
+            "fingerprint guard only supports local paths — a URI would "
+            "silently bypass it.")
+    want = _adj_fingerprint(cfg)
+    stamp = os.path.join(adjudicated_dir, _ADJ_STAMP_FILE)
+    if _parquet_dir_has_data(adjudicated_dir):
+        have = None
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                have = f.read().strip()
+        if have != want:
+            raise RuntimeError(
+                f"adjudicated table {adjudicated_dir!r} was written under "
+                f"config fingerprint {have or 'pre-versioning'}, but this "
+                f"cycle runs under {want} (LshConfig thresholds/schema "
+                "changed). Reusing those verdicts would silently produce "
+                "wrong clusters — delete the adjudicated dir (verdicts "
+                "will be recomputed from the candidate table) or restore "
+                "the original config.")
+        return
+    os.makedirs(adjudicated_dir, exist_ok=True)
+    with open(stamp, "w") as f:
+        f.write(want)
+
+
+def _compact_adjudicated(spark: SparkSession, adjudicated_dir: str) -> None:
+    """Rewrite the adjudicated table into O(shuffle-partition) files once
+    the append-only wave files pass _ADJ_COMPACT_FILES. Runs at cycle
+    START (before the prior-verdicts read), so no live plan points at the
+    replaced files. distinct() during the rewrite absorbs the duplicate
+    rows a crash between append and cluster-write can leave (documented
+    idempotence), shrinking the table to its logical content."""
+    parts = [os.path.join(r, f)
+             for r, _, files in os.walk(adjudicated_dir)
+             for f in files if f.endswith(".parquet")]
+    if len(parts) <= _ADJ_COMPACT_FILES:
+        return
+    import shutil
+
+    df = spark.read.parquet(adjudicated_dir).distinct()
+    tmp = adjudicated_dir.rstrip("/") + ".compact.tmp"
+    old = adjudicated_dir.rstrip("/") + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # the write executes the read — source files are still in place here
+    df.coalesce(4).write.mode("overwrite").parquet(tmp)
+    stamp = os.path.join(adjudicated_dir, _ADJ_STAMP_FILE)
+    if os.path.exists(stamp):
+        shutil.copy(stamp, os.path.join(tmp, _ADJ_STAMP_FILE))
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(adjudicated_dir, old)
+    os.rename(tmp, adjudicated_dir)
+    shutil.rmtree(old)
 
 
 def _parquet_dir_has_data(path: str) -> bool:
@@ -93,18 +180,28 @@ def _reconcile(spark: SparkSession, sigs: DataFrame,
                           F.col("b").cast(id_type).alias("b"))
              .distinct()
              .withColumn("source", F.lit("minhash")))
-    prior_count = 0
-    if adjudicated_dir and _parquet_dir_has_data(adjudicated_dir):
-        prior = spark.read.parquet(adjudicated_dir)
-        prior_count = prior.count()  # snapshot BEFORE the append below
-        pairs = pairs.join(prior.select("a", "b"), ["a", "b"], "left_anti")
+    prior = None
+    if adjudicated_dir:
+        _check_adj_fingerprint(adjudicated_dir, cfg)
+        _compact_adjudicated(spark, adjudicated_dir)  # before any read
+        if _parquet_dir_has_data(adjudicated_dir):
+            prior = spark.read.parquet(adjudicated_dir)
+            pairs = pairs.join(prior.select("a", "b"), ["a", "b"],
+                               "left_anti")
     new_verdicts = verify_pairs(attach_features(pairs, sigs), cfg)
     if adjudicated_dir:
-        # the append materializes the wave's verdicts once; the read-back
-        # copy feeds the edge set (and the wave-size metric)
+        # Materialize the wave ONCE before appending: the append must not
+        # share a plan with a read of the same directory (on an object
+        # store — or with plan recomputation — the write job could list
+        # its own partial output). The checkpointed copy also yields the
+        # wave-size metric for free, with no full-table counts.
+        new_verdicts = new_verdicts.localCheckpoint(eager=True)
+        n_new = new_verdicts.count()
         new_verdicts.write.mode("append").parquet(adjudicated_dir)
-        all_verdicts = spark.read.parquet(adjudicated_dir)
-        n_new = all_verdicts.count() - prior_count
+        # prior's file index was pinned before the append; union it with
+        # the materialized wave instead of re-listing the whole table.
+        all_verdicts = (prior.unionByName(new_verdicts)
+                        if prior is not None else new_verdicts)
     else:
         all_verdicts = new_verdicts
         n_new = -1  # not tracked in the non-persistent mode

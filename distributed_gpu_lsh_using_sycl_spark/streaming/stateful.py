@@ -70,7 +70,20 @@ def _check_state_version(checkpoint_dir: str) -> None:
     """Stamp a fresh checkpoint dir with STATE_FORMAT_VERSION; refuse a
     non-empty one stamped otherwise (or pre-stamp) with a clear error
     telling the operator to rebuild, instead of letting the state store
-    fail opaquely on schema/key mismatch."""
+    fail opaquely on schema/key mismatch.
+
+    Local-FS only BY CONTRACT: a URI checkpoint (hdfs://, s3a://) would
+    make os.path/open silently treat the dir as fresh — os.makedirs
+    would create a bogus LOCAL dir and the guard would never fire,
+    actively hiding the layout mismatch it exists to surface. Reject it
+    loudly; a cluster deployment routes this through the Hadoop
+    FileSystem API instead."""
+    if "://" in checkpoint_dir:
+        raise ValueError(
+            f"streaming checkpoint {checkpoint_dir!r} is a URI; the state "
+            "layout-version guard only supports local paths (os.path/open) "
+            "— a URI would silently bypass it. Use a local checkpoint dir "
+            "or extend _check_state_version to the Hadoop FileSystem API.")
     vfile = os.path.join(checkpoint_dir, _VERSION_FILE)
     if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
         have = None

@@ -264,3 +264,81 @@ def test_state_checkpoint_version_guard(tmp_path):
     (ck / "offsets").mkdir()       # real content -> also refused
     with pytest.raises(RuntimeError, match="pre-versioning"):
         _check_state_version(str(ck))
+
+
+def test_state_checkpoint_version_guard_rejects_uri(tmp_path):
+    """URI checkpoints would silently bypass the local os.path guard
+    (os.makedirs would create a bogus local dir) — refuse them loudly."""
+    from distributed_gpu_lsh_using_sycl_spark.streaming.stateful import (
+        _check_state_version)
+
+    with pytest.raises(ValueError, match="URI"):
+        _check_state_version("s3a://bucket/ckpt")
+
+
+def test_adjudicated_fingerprint_guard(spark, tmp_path_factory):
+    """Persisted verdicts are only valid under the config that produced
+    them: a cycle under a changed jaccard/hamming config against the same
+    warehouse must REFUSE to reuse the adjudicated table (silently
+    anti-joining stale verdicts away would yield wrong clusters with no
+    error). Same-config cycles keep working."""
+    from distributed_gpu_lsh_using_sycl_spark.streaming.e2e import (
+        streaming_dedup_cycle)
+
+    base = tmp_path_factory.mktemp("adj_guard")
+    inp = str(base / "in")
+    wh = str(base / "wh")
+    os.makedirs(inp)
+    images, _ = make_fixture_pandas(40, seed=42)
+    spark.createDataFrame(images).write.mode("overwrite") \
+        .parquet(os.path.join(inp, "w1"))
+    streaming_dedup_cycle(spark, inp + "/*", wh, CFG)
+
+    other = LshConfig(num_bands=16, rows_per_band=6, jaccard_threshold=0.9)
+    with pytest.raises(RuntimeError, match="config fingerprint"):
+        streaming_dedup_cycle(spark, inp + "/*", wh, other)
+
+    # unchanged config: still accepted (idempotent re-run)
+    r = streaming_dedup_cycle(spark, inp + "/*", wh, CFG)
+    assert r["n_signatures"] == 40
+
+
+def test_adjudicated_compaction_bounds_files(spark, tmp_path_factory,
+                                             monkeypatch):
+    """Many reconcile cycles must not accrete unbounded small parquet
+    files in the adjudicated table (wave appends are compacted once past
+    the file bound), and compaction must never change the final clusters
+    — they still equal a from-scratch batch dedup over everything."""
+    from distributed_gpu_lsh_using_sycl_spark.streaming import e2e
+    from distributed_gpu_lsh_using_sycl_spark.streaming.e2e import (
+        batch_dedup_reference, streaming_dedup_cycle)
+
+    monkeypatch.setattr(e2e, "_ADJ_COMPACT_FILES", 6)
+    base = tmp_path_factory.mktemp("adj_compact")
+    inp = str(base / "in")
+    wh = str(base / "wh")
+    os.makedirs(inp)
+    images, _ = make_fixture_pandas(60, seed=42)
+    adj_dir = os.path.join(wh, "adjudicated")
+
+    def n_parts():
+        return sum(1 for _, _, files in os.walk(adj_dir)
+                   for f in files if f.endswith(".parquet"))
+
+    waves = [images.iloc[i * 6:(i + 1) * 6] for i in range(10)]
+    r = None
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w).write.mode("overwrite") \
+            .parquet(os.path.join(inp, f"w{i}"))
+        r = streaming_dedup_cycle(spark, inp + "/*", wh, CFG)
+        # compaction runs at cycle start: bound = threshold + one wave's
+        # worth of appended part files (<= shuffle partitions)
+        assert n_parts() <= 6 + int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+    assert r["n_signatures"] == 60
+    want = {row["image_id"]: row["cluster_id"]
+            for row in batch_dedup_reference(
+                spark, spark.createDataFrame(images), CFG).collect()}
+    got = {row["image_id"]: row["cluster_id"]
+           for row in r["clusters"].collect()}
+    assert got == want
