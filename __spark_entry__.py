@@ -604,13 +604,20 @@ def q_ivf_kcenter_topk(spark, sf, k: int = 5):
     frame. Same assignment/probe/re-rank plan as q_ivf_topk — the swap
     changes ONLY the quantizer input, proving the docstring's claim —
     and the oracle (parity_hash.ivf_kcenter_oracle_sql) recomputes the
-    ENTIRE chain including the farthest-first init."""
+    ENTIRE chain including the farthest-first init.
+
+    The codebook is a TRAINED ARTIFACT (embedding.kcenter_codebook):
+    built at most once per (embeddings snapshot, config) and shared with
+    q_ivfpq_kcenter_topk — train once, probe many; only the probe plan
+    runs per query. Values are bit-identical to inline training, so the
+    recomputing oracle still hash-matches."""
     from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
-        ivf_topk, kcenter_cents)
+        ivf_topk, kcenter_codebook)
 
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = kcenter_cents(e, n_centroids=16, rounds=2)
+    cents = kcenter_codebook(
+        e, os.path.join(sf, "embeddings.parquet"), n_centroids=16, rounds=2)
     return ivf_topk(e, k=k, n_centroids=16, nprobe=4, cents=cents)
 
 
@@ -620,13 +627,18 @@ def q_ivfpq_kcenter_topk(spark, sf, k: int = 5):
     swapped into ivfpq_topk's ``cents`` frame — coarse cells AND PQ
     codebooks both derive from it, exactly like the smallest-id parity
     mode. The oracle (parity_hash.ivfpq_kcenter_oracle_sql) recomputes
-    the farthest-first chain plus the verbatim PQ ranking chain."""
+    the farthest-first chain plus the verbatim PQ ranking chain.
+
+    Shares the SAME trained codebook artifact as q_ivf_kcenter_topk
+    (embedding.kcenter_codebook, n_centroids=16 == max(n_centroids, ks))
+    — the two probe plans reuse one training run."""
     from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
-        ivfpq_topk, kcenter_cents)
+        ivfpq_topk, kcenter_codebook)
 
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = kcenter_cents(e, n_centroids=16, rounds=2)
+    cents = kcenter_codebook(
+        e, os.path.join(sf, "embeddings.parquet"), n_centroids=16, rounds=2)
     return ivfpq_topk(e, k=k, n_centroids=16, nprobe=4, n_sub=8, ks=16,
                       dims=EMB_DIMS, cents=cents)
 
@@ -726,6 +738,51 @@ def q_lsh_knn(spark, sf, k: int = 5):
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     return lsh_kneighbors(e, k, family="random_projections", dims=EMB_DIMS,
                           cfg=_parity_cfg(), vec_col="embedding")
+
+
+def q_bin_interop_lsh_knn(spark, sf, k: int = 5):
+    """The SAME fit+kneighbors as q_lsh_knn, but reading the vectors
+    through the reference's raw ``.bin`` file format
+    (sources/binary_format — binary_parser.hpp:126-236 analog) instead of
+    parquet: the interop surface, now driver-gated. The .bin file is
+    input data, not the operator under test — it is prepared once per
+    embeddings snapshot (sources.artifacts keying, so a regenerated
+    parquet invalidates it) in float64, which round-trips the doubles
+    bit-exactly; vec_ids are contiguous 0..n-1 and the writer orders by
+    id, so the reader's positional ids coincide with vec_id. The result
+    is therefore value-identical to q_lsh_knn and shares its full DuckDB
+    oracle (lsh_knn_oracle_sql recomputes buckets, candidate scan,
+    fold-L2 re-rank, own-id fill over the parquet table)."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.lsh_knn import (
+        lsh_kneighbors)
+    from distributed_gpu_lsh_using_sycl_spark.sources.binary_format import (
+        read_binary_vectors)
+
+    e = read_binary_vectors(spark, _prepare_bin_interop(spark, sf))
+    return lsh_kneighbors(e, k, family="random_projections", dims=EMB_DIMS,
+                          cfg=_parity_cfg(), vec_col="embedding")
+
+
+def _prepare_bin_interop(spark, sf) -> str:
+    """Write the embeddings table to a reference-format ``.bin`` file
+    (float64 — bit-exact round-trip) once per parquet snapshot; returns
+    the cached path. Split out so bench.py can prepare the input file
+    OUTSIDE its timed region (it is input data, not the operator under
+    test); a regenerated parquet changes the artifact key and forces a
+    rewrite (never a stale bench/correctness input)."""
+    from distributed_gpu_lsh_using_sycl_spark.sources.artifacts import (
+        artifact_path)
+    from distributed_gpu_lsh_using_sycl_spark.sources.binary_format import (
+        write_binary_vectors)
+
+    src = os.path.join(sf, "embeddings.parquet")
+    bin_path = artifact_path("bin_interop", src, {"use_double": True},
+                             suffix=".bin")
+    if not os.path.exists(bin_path):
+        os.makedirs(os.path.dirname(bin_path), exist_ok=True)
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        write_binary_vectors(emb, bin_path, dims=EMB_DIMS, use_double=True)
+    return bin_path
 
 
 def q_kmeans_clusters(spark, sf, k: int = 8, n_iter: int = 6):
@@ -1060,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_kcenter_topk": q_ivfpq_kcenter_topk,
         "rp_parity_buckets": q_rp_parity_buckets,
         "lsh_knn": q_lsh_knn,
+        "bin_interop_lsh_knn": q_bin_interop_lsh_knn,
         "kmeans_clusters": q_kmeans_clusters,
         "entropy_lsh_buckets": q_entropy_lsh_buckets,
         "mixed_lsh_buckets": q_mixed_lsh_buckets,
@@ -1313,6 +1371,11 @@ def oracle_sql() -> dict[str, str]:
                                               MIXED_SEED),
         "rp_parity_buckets": rp_oracle_sql(_parity_cfg(), EMB_DIMS),
         "lsh_knn": lsh_knn_oracle_sql(_parity_cfg(), EMB_DIMS, k=5),
+        # the interop query reads the SAME vectors via the .bin round-trip
+        # (float64 = bit-exact, positional ids == vec_id) — the parquet
+        # oracle is its exact twin by construction
+        "bin_interop_lsh_knn": lsh_knn_oracle_sql(_parity_cfg(), EMB_DIMS,
+                                                  k=5),
         "kmeans_clusters": _kmeans_oracle(),
         "ann_lsh_topk": ann_oracle_sql(n_tables=8, bits=6, seed=11,
                                        dims=EMB_DIMS, k=5),

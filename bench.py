@@ -30,7 +30,6 @@ import json
 import os
 import subprocess
 import sys
-import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -418,6 +417,11 @@ def headline_queries(sf_dir: str, cores: int,
              "lsh_knn",
              "embedding_neardup_lsh_pairs",
              "entropy_lsh_buckets", "mixed_lsh_buckets", "image_phash_pairs",
+             # reference-format interop: same kNN as lsh_knn but through
+             # the .bin round-trip (float64 since r5 — driver-gated, bit-
+             # exact vs the parquet oracle; the .bin file is input data,
+             # prepared once per snapshot by the query's artifact cache)
+             "bin_interop_lsh_knn",
              "kmeans_clusters", "streaming_dedup_clusters",
              "q1_pricing_summary", "revenue_by_nation",
              "topk_per_group", "sessionization", "windowed_events",
@@ -425,7 +429,7 @@ def headline_queries(sf_dir: str, cores: int,
              # signature stage via scan_path, see q_e2e_caption_dedup)
              "e2e_caption_dedup"]
     if only:
-        unknown = set(only) - set(picks) - {"bin_interop_lsh_knn"}
+        unknown = set(only) - set(picks)
         if unknown:
             raise SystemExit(f"--only: not headline queries: {sorted(unknown)}")
         picks = [p for p in picks if p in only]
@@ -448,6 +452,11 @@ def headline_queries(sf_dir: str, cores: int,
     compute_signatures(warm, LshConfig(), id_col="doc_id", text_col="text",
                        with_image=False) \
         .write.format("noop").mode("overwrite").save()
+    if "bin_interop_lsh_knn" in picks:
+        # prepare the .bin input file outside the timed region (input
+        # data, not the operator under test); snapshot-keyed, so a
+        # regenerated embeddings parquet forces a rewrite
+        E._prepare_bin_interop(spark, sf_dir)
     times: dict[str, float] = {}
     for name in picks:
         t0 = time.perf_counter()
@@ -455,34 +464,6 @@ def headline_queries(sf_dir: str, cores: int,
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()  # drop persists left by query builders
-
-    # Reference-format interop path: the SAME kNN as the lsh_knn row but
-    # reading the reference's raw .bin vector file (sources/binary_format,
-    # binary_parser.hpp analog) instead of parquet — one perf record for
-    # the last-added I/O surface. The .bin file itself is prepared outside
-    # the timed region (it is input data, not the operator under test).
-    if only is not None and "bin_interop_lsh_knn" not in only:
-        spark.stop()
-        return times
-    from distributed_gpu_lsh_using_sycl_spark.operators.lsh_knn import (
-        lsh_kneighbors)
-    from distributed_gpu_lsh_using_sycl_spark.sources.binary_format import (
-        read_binary_vectors, write_binary_vectors)
-
-    bin_path = os.path.join(
-        tempfile.gettempdir(),
-        f"dlsh_bench_{os.path.basename(sf_dir.rstrip('/'))}_embeddings.bin")
-    if not os.path.exists(bin_path):
-        emb = spark.read.parquet(
-            os.path.join(sf_dir, "embeddings.parquet")).select(
-            "vec_id", "embedding")
-        write_binary_vectors(emb, bin_path, dims=E.EMB_DIMS)
-    t0 = time.perf_counter()
-    e = read_binary_vectors(spark, bin_path)
-    lsh_kneighbors(e, 5, family="random_projections", cfg=E._parity_cfg(),
-                   vec_col="embedding", dims=E.EMB_DIMS) \
-        .write.format("noop").mode("overwrite").save()
-    times["bin_interop_lsh_knn"] = round(time.perf_counter() - t0, 2)
     spark.stop()
     return times
 

@@ -298,6 +298,33 @@ def kcenter_cents(e: DataFrame, n_centroids: int, rounds: int = 2,
         rows, "cent_id long, cv array<double>")
 
 
+def kcenter_codebook(e: DataFrame, source: str, n_centroids: int,
+                     rounds: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "v",
+                     artifact_root: str | None = None) -> DataFrame:
+    """``kcenter_cents`` as a TRAINED ARTIFACT (train once, probe many):
+    the farthest-first codebook is built at most once per (input
+    snapshot, n_centroids, rounds) and persisted via
+    sources.artifacts.cached_parquet_artifact; every subsequent IVF /
+    IVF-PQ probe plan — across queries AND sessions — reads the tiny
+    (cent_id, cv) parquet instead of re-running the driver-batched
+    training loop. This is the production IVF lifecycle (FAISS
+    train()/search(); the reference draws its hash pool once in the
+    constructor and reuses it across queries,
+    hash_functions.hpp:144-183). Values are bit-identical to inline
+    kcenter_cents (deterministic training, exact double round-trip), so
+    the DuckDB oracles that recompute the chain still hash-match."""
+    from distributed_gpu_lsh_using_sycl_spark.sources.artifacts import (
+        cached_parquet_artifact)
+
+    return cached_parquet_artifact(
+        e.sparkSession, "kcenter_codebook", source,
+        {"n_centroids": n_centroids, "rounds": rounds},
+        lambda: kcenter_cents(e, n_centroids, rounds,
+                              id_col=id_col, vec_col=vec_col),
+        artifact_root=artifact_root)
+
+
 def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
                nprobe: int = 4, n_sub: int = 8, ks: int = 16,
                id_col: str = "vec_id", vec_col: str = "v",

@@ -228,3 +228,55 @@ def test_ivf_kcenter_quantizer_recall(spark, pts):
     assert r_pq_kc >= 0.9, f"IVF-PQ kcenter recall {r_pq_kc:.3f} < 0.9"
     # the adaptive quantizer must not LOSE to the naive parity one here
     assert r_pq_kc >= r_pq_id
+
+
+def test_kcenter_codebook_artifact_cache(spark, pts, tmp_path):
+    """The trained-artifact wrapper must serve values bit-identical to
+    inline training, train at most once per (source snapshot, params),
+    and invalidate when the source parquet changes (never serve stale
+    centers for regenerated data)."""
+    import os
+    import time as _time
+
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        kcenter_cents, kcenter_codebook)
+    from distributed_gpu_lsh_using_sycl_spark.sources.artifacts import (
+        artifact_path)
+
+    df = _df(spark, pts)
+    src = str(tmp_path / "emb.parquet")
+    root = str(tmp_path / "artifacts")
+    df.write.parquet(src)
+
+    inline = {r["cent_id"]: list(r["cv"])
+              for r in kcenter_cents(df, 8, rounds=2).collect()}
+    got1 = {r["cent_id"]: list(r["cv"])
+            for r in kcenter_codebook(df, src, 8, rounds=2,
+                                      artifact_root=root).collect()}
+    assert got1 == inline  # bit-identical to inline training
+
+    path = artifact_path("kcenter_codebook", src,
+                         {"n_centroids": 8, "rounds": 2},
+                         artifact_root=root)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    trained_at = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    got2 = {r["cent_id"]: list(r["cv"])
+            for r in kcenter_codebook(df, src, 8, rounds=2,
+                                      artifact_root=root).collect()}
+    assert got2 == inline
+    # cache hit: the artifact was NOT rebuilt
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == trained_at
+
+    # params key: another config trains its own artifact
+    other = artifact_path("kcenter_codebook", src,
+                          {"n_centroids": 4, "rounds": 2},
+                          artifact_root=root)
+    assert other != path
+
+    # snapshot key: rewriting the source invalidates (new path)
+    _time.sleep(0.01)
+    df.write.mode("overwrite").parquet(src)
+    fresh = artifact_path("kcenter_codebook", src,
+                          {"n_centroids": 8, "rounds": 2},
+                          artifact_root=root)
+    assert fresh != path
