@@ -60,17 +60,37 @@ def _downsample_keep(cfg: LshConfig):
     )
 
 
-def downsample_dropped(bands: DataFrame, cfg: LshConfig) -> DataFrame:
+def over_threshold_stats(bands: DataFrame, cfg: LshConfig) -> DataFrame:
+    """``bucket_stats`` filtered to every bucket any salt/cap decision
+    needs: cnt > min(hot_bucket_threshold, max_bucket_size-if-on). Small
+    by the skew assumption (hot + degenerate buckets are by definition
+    few), so callers localCheckpoint it and feed the SAME frame to both
+    ``candidate_pairs_from_bands`` and ``downsample_dropped`` — the
+    full-width stats shuffle then runs ONCE per banding frame instead of
+    once per consumer (the pipeline previously re-ran it just to count
+    drops)."""
+    thr = cfg.hot_bucket_threshold
+    if cfg.max_bucket_size > 0:
+        thr = min(thr, cfg.max_bucket_size)
+    return bucket_stats(bands).filter(F.col("cnt") > thr)
+
+
+def downsample_dropped(bands: DataFrame, cfg: LshConfig,
+                       stats: DataFrame | None = None) -> DataFrame:
     """Per-bucket drop accounting for the ``max_bucket_size`` cap —
     (band_id, bucket, cnt, dropped). Empty when the cap is off or no
     bucket is degenerate. The no-silent-caps rule: callers (the pipeline)
     aggregate + record this; it shares the exact predicate used by
-    ``candidate_pairs_from_bands``."""
+    ``candidate_pairs_from_bands``. Pass the ``over_threshold_stats``
+    frame as ``stats`` to skip the full stats shuffle (a broadcast join +
+    partial agg is all that remains)."""
     if cfg.max_bucket_size <= 0:
         return (bands.sparkSession.createDataFrame(
             [], "band_id int, bucket long, cnt long, dropped long"))
-    stats = bucket_stats(bands).filter(F.col("cnt") > cfg.max_bucket_size)
-    dropped = (bands.join(F.broadcast(stats), ["band_id", "bucket"])
+    if stats is None:
+        stats = bucket_stats(bands)
+    degen = stats.filter(F.col("cnt") > cfg.max_bucket_size)
+    dropped = (bands.join(F.broadcast(degen), ["band_id", "bucket"])
                .filter(~_downsample_keep(cfg))
                .groupBy("band_id", "bucket", "cnt")
                .agg(F.count("*").alias("dropped")))
@@ -78,14 +98,19 @@ def downsample_dropped(bands: DataFrame, cfg: LshConfig) -> DataFrame:
 
 
 def candidate_pairs_from_bands(bands: DataFrame, cfg: LshConfig,
-                               source: str = "minhash") -> DataFrame:
+                               source: str = "minhash",
+                               stats: DataFrame | None = None) -> DataFrame:
     """(image_id, band_id, bucket) -> distinct candidate pairs (a < b).
 
     One aggregation for stats, one salted self-join, one (a, b) distinct.
     The distinct is the reference's dedup-before-distance rewrite
-    (hash_tables.hpp:547-557): never verify a pair twice.
+    (hash_tables.hpp:547-557): never verify a pair twice. ``stats``
+    (an ``over_threshold_stats`` frame) skips the stats aggregation —
+    only buckets past the hot threshold influence the plan, so the
+    filtered frame is exactly equivalent.
     """
-    stats = bucket_stats(bands)
+    if stats is None:
+        stats = bucket_stats(bands)
     hot = stats.filter(F.col("cnt") > cfg.hot_bucket_threshold)
 
     # hot-bucket plan is broadcast — hot buckets are by definition few.

@@ -161,33 +161,42 @@ class DedupPipeline:
             sigs = t["signatures"] = sigs.localCheckpoint(eager=True)
 
         t["bands"] = self._stage("bands", lambda: banding.explode_bands(sigs))
-        t["cand_minhash"] = self._stage(
-            "cand_minhash",
-            lambda: banding.candidate_pairs_from_bands(t["bands"], cfg, source="minhash"))
-        def record_drops(stage: str, bands_df: DataFrame) -> None:
-            # no-silent-caps: the degenerate-bucket down-sample's exact drop
-            # count goes into metrics (one cheap aggregate over the banding
-            # frame the capped candidate join saw).
+
+        def banded_candidates(stage: str, bands_df: DataFrame,
+                              source: str) -> None:
+            # ONE stats shuffle per banding frame: the over-threshold
+            # occupancy (hot + degenerate buckets, small by the skew
+            # assumption) is materialized once and feeds BOTH the salted
+            # candidate join and the drop accounting — round 4 re-ran the
+            # banding + stats work per modality just to count drops.
+            shared = banding.over_threshold_stats(bands_df, cfg) \
+                .localCheckpoint(eager=True)
+            t[stage] = self._stage(
+                stage,
+                lambda: banding.candidate_pairs_from_bands(
+                    bands_df, cfg, source=source, stats=shared))
             if cfg.max_bucket_size <= 0:
                 return
+            # no-silent-caps: the degenerate-bucket down-sample's exact
+            # drop count goes into metrics (broadcast join + partial agg
+            # over the shared stats — no second stats shuffle).
             t0 = time.perf_counter()
-            n_dropped = (banding.downsample_dropped(bands_df, cfg)
+            n_dropped = (banding.downsample_dropped(bands_df, cfg,
+                                                    stats=shared)
                          .agg(F.coalesce(F.sum("dropped"), F.lit(0)))
                          .collect()[0][0])
             self._record(f"{stage}:dropped", "INFO", int(n_dropped),
                          int((time.perf_counter() - t0) * 1000))
 
-        record_drops("cand_minhash", t["bands"])
+        banded_candidates("cand_minhash", t["bands"], "minhash")
 
         if self.with_image:
-            t["cand_simhash"] = self._stage(
-                "cand_simhash",
-                lambda: banding.hash_band_pairs(sigs, "simhash", cfg, source="simhash"))
-            record_drops("cand_simhash", banding.bit_bands(sigs, "simhash", cfg))
-            t["cand_phash"] = self._stage(
-                "cand_phash",
-                lambda: banding.hash_band_pairs(sigs, "phash", cfg, source="phash"))
-            record_drops("cand_phash", banding.bit_bands(sigs, "phash", cfg))
+            banded_candidates("cand_simhash",
+                              banding.bit_bands(sigs, "simhash", cfg),
+                              "simhash")
+            banded_candidates("cand_phash",
+                              banding.bit_bands(sigs, "phash", cfg),
+                              "phash")
 
         docs = images.select(F.col(self.id_col).alias("image_id"),
                              F.col(self.text_col).alias("caption"))
