@@ -61,12 +61,15 @@ class LshConfig:
     #: volume stays bounded: ~ expected_rows / (num_bands * target
     #: members-per-key); <= 0 disables coarsening (exact (band, bucket)
     #: keys — right for huge deployments where per-key state volume, not
-    #: per-key overhead, binds). Pair semantics are identical either way
-    #: (interleaved sweep at sf0.1/local[32], min-fold of 3: G=64 11.2s,
-    #: 256 12.5s, 1024 15.4s, 4096 21.1s, per-bucket keys ~21s —
-    #: identical candidate sets; 256 trades ~10% vs 64 for 4x the
-    #: key-count headroom, since total keys = num_bands * G).
-    state_group_buckets: int = 256
+    #: per-key overhead, binds). Pair semantics are identical either way.
+    #: Round-5 drain sweep (5k-doc signatures, local[32], min of 3 per
+    #: level): G=8 1.84s, 16 1.79, 32 1.84, 64 1.87, 128 2.10, 256 2.28,
+    #: 1024 4.1, per-bucket keys 13.8 — a flat plateau at G∈[8,64]. 32
+    #: sits mid-plateau with total keys = num_bands * 32 (1536 at the
+    #: dedup profile), still >> any local shuffle width; big clusters
+    #: should RAISE it so keys >> executor-cores (the stamp in the
+    #: streaming checkpoint refuses a resumed mismatch).
+    state_group_buckets: int = 32
 
     # ---- determinism ----
     #: single RNG seed for every random draw (pool coefficients, selection);

@@ -205,8 +205,15 @@ def _reconcile(spark: SparkSession, sigs: DataFrame,
     else:
         all_verdicts = new_verdicts
         n_new = -1  # not tracked in the non-persistent mode
+    # Reconcile cycles run CONTINUOUSLY; at wave-scale edge counts the
+    # star loop's ~4 rounds of shuffle-stage scheduling latency dominate
+    # CC (measured 2.2s for 256 edges). Opt into the driver union-find
+    # fast path under an explicit bound (~1M edges ≈ tens of MB driver
+    # memory — identical assignments, pinned in tests); past the bound
+    # the distributed loop engages automatically.
     return (assign_clusters(sigs, verified_edges(all_verdicts),
-                            id_col="image_id"), n_new)
+                            id_col="image_id",
+                            small_graph_threshold=1_000_000), n_new)
 
 
 def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
@@ -214,7 +221,8 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
                           with_image: bool = False,
                           timeout_s: int = 600,
                           state_partitions: int | None = None,
-                          reconcile: bool = True) -> dict:
+                          reconcile: bool = True,
+                          ingest_partitions: int | None = None) -> dict:
     """One incremental dedup cycle over ``input_dir`` (a parquet dir that
     accumulates input files between cycles). Returns
     ``{"clusters": DataFrame, "n_signatures": int, "n_candidates": int}``
@@ -236,9 +244,13 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
     sigs_dir = os.path.join(warehouse, "signatures")
     pairs_dir = os.path.join(warehouse, "cand_pairs")
 
+    # ingest_partitions: spread the signature UDF when waves land as few
+    # files (see signature_stream — the file source parallelizes by file,
+    # so a narrow wave otherwise signs on a fraction of the cores)
     q = signature_stream(spark, input_dir, sigs_dir,
                          os.path.join(warehouse, "ckpt_sigs"), cfg,
-                         with_image=with_image, available_now=True)
+                         with_image=with_image, available_now=True,
+                         ingest_partitions=ingest_partitions)
     _await_drained(q, timeout_s)
     # The stateful join's state-store partition count is captured from
     # spark.sql.shuffle.partitions at the query's FIRST start and pinned

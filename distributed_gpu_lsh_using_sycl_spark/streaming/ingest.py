@@ -40,7 +40,8 @@ IMAGES_SCHEMA = T.StructType([
 def signature_stream(spark: SparkSession, input_dir: str, out_dir: str,
                      checkpoint_dir: str, cfg: LshConfig | None = None,
                      with_image: bool = True, available_now: bool = True,
-                     max_files_per_trigger: int | None = None):
+                     max_files_per_trigger: int | None = None,
+                     ingest_partitions: int | None = None):
     """readStream(parquet dir) -> compute_signatures -> append parquet.
 
     ``available_now=True`` drains everything currently present and stops
@@ -49,6 +50,15 @@ def signature_stream(spark: SparkSession, input_dir: str, out_dir: str,
     leave None for throughput (signing is stateless, so splitting only
     adds per-batch commit overhead) and set it in continuous mode when
     per-batch latency, not drain throughput, is the target.
+
+    ``ingest_partitions`` repartitions each micro-batch BEFORE the
+    signature UDF. The file source parallelizes by input file/row-group,
+    so a wave landing as FEW files signs on as few cores (measured: a
+    one-file 2.5k-doc wave ran the whole signature stage on 1 of 32
+    cores, 3.5s vs ~1.2s repartitioned) — set it to the executor core
+    count when waves arrive narrow. Leave None when waves land wide
+    (parallel upstream writers — the production shape), where the extra
+    shuffle of raw bytes would only cost.
     Returns the StreamingQuery.
     """
     cfg = cfg or LshConfig()
@@ -56,6 +66,8 @@ def signature_stream(spark: SparkSession, input_dir: str, out_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
+    if ingest_partitions:
+        stream = stream.repartition(ingest_partitions)
     sigs = compute_signatures(stream, cfg, with_image=with_image)
     writer = (sigs.writeStream
               .format("parquet")

@@ -66,11 +66,25 @@ STATE_FORMAT_VERSION = 2
 _VERSION_FILE = "_DLSH_STATE_VERSION"
 
 
-def _check_state_version(checkpoint_dir: str) -> None:
-    """Stamp a fresh checkpoint dir with STATE_FORMAT_VERSION; refuse a
-    non-empty one stamped otherwise (or pre-stamp) with a clear error
-    telling the operator to rebuild, instead of letting the state store
-    fail opaquely on schema/key mismatch.
+def _state_layout_stamp(cfg: LshConfig | None = None) -> str:
+    """What the checkpointed state's readability depends on: the schema/
+    key layout version PLUS the bucket-grouping factor — resuming a
+    checkpoint under a different ``state_group_buckets`` would re-map
+    every bucket to a different coarse key, making prior members
+    invisible (silently MISSED pairs, no error at all)."""
+    g = cfg.state_group_buckets if cfg is not None else None
+    return f"{STATE_FORMAT_VERSION}:g{g}" if g is not None \
+        else str(STATE_FORMAT_VERSION)
+
+
+def _check_state_version(checkpoint_dir: str,
+                         cfg: LshConfig | None = None) -> None:
+    """Stamp a fresh checkpoint dir with the state layout stamp
+    (version + grouping factor); refuse a non-empty one stamped
+    otherwise (or pre-stamp) with a clear error telling the operator to
+    rebuild, instead of letting the state store fail opaquely on
+    schema/key mismatch (or, worse for a grouping change, silently drop
+    pairs).
 
     Local-FS only BY CONTRACT: a URI checkpoint (hdfs://, s3a://) would
     make os.path/open silently treat the dir as fresh — os.makedirs
@@ -84,25 +98,27 @@ def _check_state_version(checkpoint_dir: str) -> None:
             "layout-version guard only supports local paths (os.path/open) "
             "— a URI would silently bypass it. Use a local checkpoint dir "
             "or extend _check_state_version to the Hadoop FileSystem API.")
+    want = _state_layout_stamp(cfg)
     vfile = os.path.join(checkpoint_dir, _VERSION_FILE)
     if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
         have = None
         if os.path.exists(vfile):
             with open(vfile) as f:
                 have = f.read().strip()
-        if have != str(STATE_FORMAT_VERSION):
+        if have != want:
             raise RuntimeError(
                 f"streaming checkpoint {checkpoint_dir!r} was written under "
-                f"state layout version {have or 'pre-versioning'}, but this "
-                f"build uses version {STATE_FORMAT_VERSION} (state schema / "
-                "grouping key changed). Delete the checkpoint dir AND the "
-                "candidate output dir, then re-drain from the signatures "
-                "table — resuming would hit an opaque state-store "
-                "deserialization error.")
+                f"state layout {have or 'pre-versioning'}, but this "
+                f"build uses layout {want} (state schema / grouping key / "
+                "state_group_buckets changed). Delete the checkpoint dir "
+                "AND the candidate output dir, then re-drain from the "
+                "signatures table — resuming would hit an opaque "
+                "state-store deserialization error (or silently remap "
+                "bucket state and MISS pairs on a grouping change).")
         return
     os.makedirs(checkpoint_dir, exist_ok=True)
     with open(vfile, "w") as f:
-        f.write(str(STATE_FORMAT_VERSION))
+        f.write(want)
 
 
 def _make_emit(cap: int):
@@ -200,7 +216,7 @@ def candidate_pair_stream(spark, input_dir: str, out_dir: str,
     tests/test_resume_and_streaming.py). Set it in continuous mode when
     per-batch latency or per-batch state-delta size is the target."""
     cfg = cfg or LshConfig()
-    _check_state_version(checkpoint_dir)
+    _check_state_version(checkpoint_dir, cfg)
     sigs_schema = T.StructType([
         T.StructField("image_id", T.StringType(), False),
         T.StructField("buckets", T.ArrayType(T.LongType()), True),

@@ -51,3 +51,31 @@ def test_cc_chain_and_star(spark):
     assert {got[f"c{i:03d}"] for i in range(31)} == {"c000"}
     assert {got[f"s{i:03d}"] for i in range(10)} == {"s000"}
     assert got["lonely"] == "lonely"
+
+
+@pytest.mark.parametrize("seed", [7, 11])
+def test_small_graph_path_equals_distributed(spark, seed):
+    """The driver union-find fast path must produce assignments IDENTICAL
+    to the large-star/small-star loop (same component-min cluster ids,
+    same node set), and the threshold must gate which path runs: above
+    the edge count the distributed loop engages (and still matches)."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.components import (
+        connected_components)
+
+    rng = np.random.default_rng(seed)
+    ids = [f"v{i:04d}" for i in range(120)]
+    edges = [(ids[i], ids[j]) for i in range(120) for j in range(i + 1, 120)
+             if rng.random() < 0.02]
+    edf = spark.createDataFrame(edges, ["a", "b"])
+
+    dist = {(r["image_id"], r["cluster_id"])
+            for r in connected_components(edf).collect()}
+    fast = {(r["image_id"], r["cluster_id"])
+            for r in connected_components(
+                edf, small_graph_threshold=10**6).collect()}
+    assert fast == dist and len(fast) > 0
+    # threshold below the edge count -> distributed path (still equal)
+    over = {(r["image_id"], r["cluster_id"])
+            for r in connected_components(
+                edf, small_graph_threshold=1).collect()}
+    assert over == dist

@@ -257,8 +257,21 @@ def test_state_checkpoint_version_guard(tmp_path):
     _check_state_version(str(ck))  # matching stamp -> accepted
 
     stamp.write_text("1")          # older layout -> refused, named
-    with pytest.raises(RuntimeError, match="state layout version 1"):
+    with pytest.raises(RuntimeError, match="state layout 1"):
         _check_state_version(str(ck))
+
+    # grouping-factor change (same schema version): resuming would
+    # silently remap bucket state and MISS pairs -> refused
+    import dataclasses
+
+    from distributed_gpu_lsh_using_sycl_spark.streaming.stateful import (
+        _state_layout_stamp)
+    stamp.write_text(_state_layout_stamp(CFG))
+    _check_state_version(str(ck), CFG)  # matching cfg stamp -> accepted
+    other = dataclasses.replace(CFG, state_group_buckets=7)
+    with pytest.raises(RuntimeError, match="g7"):
+        _check_state_version(str(ck), other)
+    stamp.write_text("1")  # restore for the tail of the test
 
     stamp.unlink()                 # pre-versioning checkpoint with
     (ck / "offsets").mkdir()       # real content -> also refused
