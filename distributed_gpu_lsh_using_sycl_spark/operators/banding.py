@@ -111,14 +111,29 @@ def candidate_pairs_from_bands(bands: DataFrame, cfg: LshConfig,
     """
     if stats is None:
         stats = bucket_stats(bands)
-    hot = stats.filter(F.col("cnt") > cfg.hot_bucket_threshold)
+    # The broadcast plan must carry EVERY bucket any decision touches —
+    # hot buckets (salted) AND degenerate-but-not-hot buckets (possible
+    # when max_bucket_size < hot_bucket_threshold): a bucket absent from
+    # the plan coalesces cnt to 0 downstream, which the keep-predicate
+    # reads as "under the cap", silently skipping the down-sample while
+    # downsample_dropped (driven by the same stats) reports its members
+    # as dropped. Same threshold as over_threshold_stats, so passing that
+    # frame in makes this filter a no-op; still few rows by the skew
+    # assumption, so the broadcast stands.
+    thr = cfg.hot_bucket_threshold
+    if cfg.max_bucket_size > 0:
+        thr = min(thr, cfg.max_bucket_size)
+    over = stats.filter(F.col("cnt") > thr)
 
-    # hot-bucket plan is broadcast — hot buckets are by definition few.
-    m_col = F.least(
-        F.lit(cfg.n_salts),
-        F.ceil(F.col("cnt") / F.lit(cfg.hot_bucket_threshold)).cast("int"),
-    )
-    plan = hot.select("band_id", "bucket", "cnt", m_col.alias("m"))
+    m_col = F.when(
+        F.col("cnt") > cfg.hot_bucket_threshold,
+        F.least(
+            F.lit(cfg.n_salts),
+            F.ceil(F.col("cnt") / F.lit(cfg.hot_bucket_threshold))
+             .cast("int"),
+        ),
+    ).otherwise(F.lit(1))
+    plan = over.select("band_id", "bucket", "cnt", m_col.alias("m"))
 
     b = (
         bands.join(F.broadcast(plan), ["band_id", "bucket"], "left")

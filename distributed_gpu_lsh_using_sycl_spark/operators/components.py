@@ -68,7 +68,10 @@ def _small_graph_components(cur: DataFrame) -> DataFrame:
     shuffle stages of fixed scheduling latency — the dominant CC cost
     when the verified-edge set is wave-sized (measured 2.2s → ~0.2s at
     256 edges on local[32])."""
-    rows = cur.collect()
+    # Arrow-backed toPandas + plain python lists: far leaner per edge
+    # than a list of Row objects at the upper end of the caller's bound.
+    pdf = cur.toPandas()
+    a_vals, b_vals = pdf[pdf.columns[0]].tolist(), pdf[pdf.columns[1]].tolist()
     parent: dict = {}
 
     def find(x):
@@ -79,16 +82,14 @@ def _small_graph_components(cur: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        ra, rb = find(row[0]), find(row[1])
+    for a, b in zip(a_vals, b_vals):
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    comp_min: dict = {}
-    nodes = {n for row in rows for n in (row[0], row[1])}
-    for n in nodes:
-        r = find(n)
-        comp_min[r] = min(comp_min.get(r, n), n)
-    out = [(n, comp_min[find(n)]) for n in sorted(nodes)]
+    # union-by-min keeps every parent smaller than its child, so each
+    # root IS its component's minimum — find(n) is the cluster id.
+    nodes = set(a_vals) | set(b_vals)
+    out = [(n, find(n)) for n in sorted(nodes)]
     id_type = cur.schema["a"].dataType
     from pyspark.sql import types as T
 

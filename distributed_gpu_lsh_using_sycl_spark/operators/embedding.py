@@ -317,9 +317,15 @@ def kcenter_codebook(e: DataFrame, source: str, n_centroids: int,
     from distributed_gpu_lsh_using_sycl_spark.sources.artifacts import (
         cached_parquet_artifact)
 
+    # id_col/vec_col are part of the key: the trained centers depend on
+    # WHICH columns of the snapshot were read, so two callers projecting
+    # different columns of the same parquet must never share an artifact.
+    # (The frame `e` itself must be the unfiltered projection of
+    # ``source`` — that is the caller contract this cache keys on.)
     return cached_parquet_artifact(
         e.sparkSession, "kcenter_codebook", source,
-        {"n_centroids": n_centroids, "rounds": rounds},
+        {"n_centroids": n_centroids, "rounds": rounds,
+         "id_col": id_col, "vec_col": vec_col},
         lambda: kcenter_cents(e, n_centroids, rounds,
                               id_col=id_col, vec_col=vec_col),
         artifact_root=artifact_root)

@@ -169,14 +169,22 @@ class DedupPipeline:
             # assumption) is materialized once and feeds BOTH the salted
             # candidate join and the drop accounting — round 4 re-ran the
             # banding + stats work per modality just to count drops.
-            shared = banding.over_threshold_stats(bands_df, cfg) \
-                .localCheckpoint(eager=True)
-            t[stage] = self._stage(
-                stage,
-                lambda: banding.candidate_pairs_from_bands(
-                    bands_df, cfg, source=source, stats=shared))
-            if cfg.max_bucket_size <= 0:
+            # Built INSIDE the stage lambda: a resumed run whose stage is
+            # DONE must not pay the stats shuffle (its drop count was
+            # recorded by the original run).
+            shared_box: dict = {}
+
+            def build() -> DataFrame:
+                shared_box["stats"] = banding.over_threshold_stats(
+                    bands_df, cfg).localCheckpoint(eager=True)
+                return banding.candidate_pairs_from_bands(
+                    bands_df, cfg, source=source,
+                    stats=shared_box["stats"])
+
+            t[stage] = self._stage(stage, build)
+            if cfg.max_bucket_size <= 0 or "stats" not in shared_box:
                 return
+            shared = shared_box["stats"]
             # no-silent-caps: the degenerate-bucket down-sample's exact
             # drop count goes into metrics (broadcast join + partial agg
             # over the shared stats — no second stats shuffle).

@@ -92,10 +92,26 @@ def cached_parquet_artifact(spark: SparkSession, name: str, source: str,
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return spark.read.parquet(path)
     df = build()
-    tmp = path + ".tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # Per-writer tmp path: concurrent sessions (bench + a tool run) that
+    # both miss the same key must never share a staging dir — a shared
+    # "<path>.tmp" would let one writer's overwrite delete the other's
+    # in-flight parts and then publish a MIXED dir under _SUCCESS,
+    # poisoning the key forever (same fingerprint, no invalidation).
     import shutil
+    import uuid
 
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        # a concurrent build published first; both are deterministic so
+        # theirs is identical — discard ours and serve the published one
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.read.parquet(path)
+    # a dir without _SUCCESS is a crash leftover — safe to replace
     shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost a publish race after the existence check; keep the winner
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)

@@ -75,11 +75,21 @@ _ADJ_COMPACT_FILES = 48
 
 
 def _adj_fingerprint(cfg: LshConfig) -> str:
-    """What a persisted verdict's validity depends on: the adjudicated
-    layout version plus the FULL LshConfig hash (jaccard/hamming
-    thresholds, shingle size, signature config — a verdict computed under
-    any other config is wrong to reuse)."""
-    return f"v{ADJ_FORMAT_VERSION}:{cfg.config_hash()}"
+    """What a persisted verdict's validity ACTUALLY depends on: the
+    adjudicated layout version plus the verdict-semantic config fields —
+    the thresholds verify_pairs applies and the shingle size the compared
+    features were built with. Perf-only knobs (shuffle partitions, Arrow
+    batch size, state grouping, salting) must NOT invalidate the table:
+    hashing the full config would brick every existing warehouse on a
+    tuning change even though all persisted verdicts remain valid."""
+    import hashlib as _hashlib
+    import json as _json
+
+    sem = {"shingle_size": cfg.shingle_size,
+           "jaccard_threshold": cfg.jaccard_threshold,
+           "hamming_threshold": cfg.hamming_threshold}
+    blob = _json.dumps(sem, sort_keys=True).encode()
+    return f"v{ADJ_FORMAT_VERSION}:{_hashlib.sha256(blob).hexdigest()[:16]}"
 
 
 def _check_adj_fingerprint(adjudicated_dir: str, cfg: LshConfig) -> None:
@@ -94,6 +104,22 @@ def _check_adj_fingerprint(adjudicated_dir: str, cfg: LshConfig) -> None:
             f"adjudicated dir {adjudicated_dir!r} is a URI; the config-"
             "fingerprint guard only supports local paths — a URI would "
             "silently bypass it.")
+    # Crash recovery for _compact_adjudicated's dir swap: a death between
+    # its two renames leaves the whole table at .compact.old and nothing
+    # at the live path — restore it BEFORE the has-data probe, or this
+    # function would stamp a fresh empty dir and every persisted verdict
+    # would be silently re-verified from scratch.
+    old = adjudicated_dir.rstrip("/") + ".compact.old"
+    if os.path.isdir(old):
+        import shutil
+
+        if _parquet_dir_has_data(adjudicated_dir):
+            # crash fell between publish and cleanup: live table is
+            # intact, the pre-compaction copy is now redundant
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            shutil.rmtree(adjudicated_dir, ignore_errors=True)
+            os.rename(old, adjudicated_dir)
     want = _adj_fingerprint(cfg)
     stamp = os.path.join(adjudicated_dir, _ADJ_STAMP_FILE)
     if _parquet_dir_has_data(adjudicated_dir):
@@ -157,9 +183,18 @@ def _parquet_dir_has_data(path: str) -> bool:
                for _, _, files in os.walk(path) for f in files)
 
 
+#: Default bound for the reconcile's driver union-find fast path: edge
+#: sets at or under this are solved driver-side (Arrow-collected id
+#: pairs — tens of MB at the bound), larger ones take the distributed
+#: star loop. Callers with bigger drivers raise it per call.
+RECONCILE_SMALL_GRAPH_EDGES = 200_000
+
+
 def _reconcile(spark: SparkSession, sigs: DataFrame,
                cands: DataFrame, cfg: LshConfig,
-               adjudicated_dir: str | None = None) -> tuple[DataFrame, int]:
+               adjudicated_dir: str | None = None,
+               small_graph_threshold: int = RECONCILE_SMALL_GRAPH_EDGES,
+               ) -> tuple[DataFrame, int]:
     """Accumulated signatures + candidate pairs -> (full cluster
     assignment, n pairs newly verified this cycle).
 
@@ -208,12 +243,13 @@ def _reconcile(spark: SparkSession, sigs: DataFrame,
     # Reconcile cycles run CONTINUOUSLY; at wave-scale edge counts the
     # star loop's ~4 rounds of shuffle-stage scheduling latency dominate
     # CC (measured 2.2s for 256 edges). Opt into the driver union-find
-    # fast path under an explicit bound (~1M edges ≈ tens of MB driver
-    # memory — identical assignments, pinned in tests); past the bound
-    # the distributed loop engages automatically.
+    # fast path under a caller-tunable bound (identical assignments,
+    # pinned in tests); past the bound the distributed loop engages
+    # automatically.
     return (assign_clusters(sigs, verified_edges(all_verdicts),
                             id_col="image_id",
-                            small_graph_threshold=1_000_000), n_new)
+                            small_graph_threshold=small_graph_threshold),
+            n_new)
 
 
 def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
@@ -222,7 +258,9 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
                           timeout_s: int = 600,
                           state_partitions: int | None = None,
                           reconcile: bool = True,
-                          ingest_partitions: int | None = None) -> dict:
+                          ingest_partitions: int | None = None,
+                          small_graph_threshold: int =
+                          RECONCILE_SMALL_GRAPH_EDGES) -> dict:
     """One incremental dedup cycle over ``input_dir`` (a parquet dir that
     accumulates input files between cycles). Returns
     ``{"clusters": DataFrame, "n_signatures": int, "n_candidates": int}``
@@ -288,7 +326,8 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
                 "n_candidates": cands.count()}
     clusters, n_new = _reconcile(
         spark, sigs, cands, cfg,
-        adjudicated_dir=os.path.join(warehouse, "adjudicated"))
+        adjudicated_dir=os.path.join(warehouse, "adjudicated"),
+        small_graph_threshold=small_graph_threshold)
     out_dir = os.path.join(warehouse, "clusters")
     clusters.write.mode("overwrite").parquet(out_dir)
     return {"clusters": spark.read.parquet(out_dir),

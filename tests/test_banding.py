@@ -109,3 +109,29 @@ def test_downsample_dropped_accounting(spark):
     d = drops[0]
     assert d["bucket"] == 1 and d["cnt"] == 200
     assert 0 < d["dropped"] < 200
+
+
+def test_cap_enforced_when_cap_below_hot_threshold(spark):
+    """max_bucket_size < hot_bucket_threshold: a bucket between the two
+    (degenerate but not hot) must still be down-sampled, with pair
+    generation and the drop accounting agreeing on the SAME kept set —
+    a bucket missing from the broadcast plan would otherwise skip the
+    cap (coalesced cnt 0 reads as under-cap) while downsample_dropped
+    reports its members as dropped."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        candidate_pairs_from_bands, downsample_dropped)
+
+    rows = [(f"m{i:04d}", 0, 5) for i in range(100)]
+    cfg = LshConfig(hot_bucket_threshold=200, n_salts=4, max_bucket_size=50)
+    bands = spark.createDataFrame(rows, ["image_id", "band_id", "bucket"])
+
+    pairs = candidate_pairs_from_bands(bands, cfg).select("a", "b").collect()
+    members_in_pairs = {x for r in pairs for x in (r["a"], r["b"])}
+    drops = downsample_dropped(bands, cfg).collect()
+    assert len(drops) == 1 and drops[0]["cnt"] == 100
+    n_dropped = drops[0]["dropped"]
+    assert 0 < n_dropped < 100
+    # every member is either in the pair set or accounted as dropped
+    assert len(members_in_pairs) == 100 - n_dropped
+    # and the pair count reflects the capped bucket, not C(100,2)
+    assert len(pairs) == len(members_in_pairs) * (len(members_in_pairs) - 1) // 2

@@ -256,7 +256,8 @@ def test_kcenter_codebook_artifact_cache(spark, pts, tmp_path):
     assert got1 == inline  # bit-identical to inline training
 
     path = artifact_path("kcenter_codebook", src,
-                         {"n_centroids": 8, "rounds": 2},
+                         {"n_centroids": 8, "rounds": 2,
+                          "id_col": "vec_id", "vec_col": "v"},
                          artifact_root=root)
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     trained_at = os.path.getmtime(os.path.join(path, "_SUCCESS"))
@@ -269,7 +270,8 @@ def test_kcenter_codebook_artifact_cache(spark, pts, tmp_path):
 
     # params key: another config trains its own artifact
     other = artifact_path("kcenter_codebook", src,
-                          {"n_centroids": 4, "rounds": 2},
+                          {"n_centroids": 4, "rounds": 2,
+                           "id_col": "vec_id", "vec_col": "v"},
                           artifact_root=root)
     assert other != path
 
@@ -277,6 +279,7 @@ def test_kcenter_codebook_artifact_cache(spark, pts, tmp_path):
     _time.sleep(0.01)
     df.write.mode("overwrite").parquet(src)
     fresh = artifact_path("kcenter_codebook", src,
-                          {"n_centroids": 8, "rounds": 2},
+                          {"n_centroids": 8, "rounds": 2,
+                           "id_col": "vec_id", "vec_col": "v"},
                           artifact_root=root)
     assert fresh != path

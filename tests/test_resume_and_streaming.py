@@ -355,3 +355,64 @@ def test_adjudicated_compaction_bounds_files(spark, tmp_path_factory,
     got = {row["image_id"]: row["cluster_id"]
            for row in r["clusters"].collect()}
     assert got == want
+
+
+def test_adjudicated_reuse_survives_perf_only_config_change(
+        spark, tmp_path_factory):
+    """The adjudicated fingerprint covers only verdict-semantic fields:
+    retuning a perf knob (here arrow_batch_size) against the same
+    warehouse must KEEP the persisted verdicts — a full-config hash would
+    brick every warehouse on any tuning change even though the verdicts
+    remain valid."""
+    import dataclasses
+
+    from distributed_gpu_lsh_using_sycl_spark.streaming.e2e import (
+        streaming_dedup_cycle)
+
+    base = tmp_path_factory.mktemp("adj_perf")
+    inp = str(base / "in")
+    wh = str(base / "wh")
+    os.makedirs(inp)
+    images, _ = make_fixture_pandas(40, seed=42)
+    spark.createDataFrame(images).write.mode("overwrite") \
+        .parquet(os.path.join(inp, "w1"))
+    r1 = streaming_dedup_cycle(spark, inp + "/*", wh, CFG)
+    assert r1["n_new_adjudicated"] > 0
+
+    tuned = dataclasses.replace(CFG, arrow_batch_size=512)
+    r2 = streaming_dedup_cycle(spark, inp + "/*", wh, tuned)
+    # same wave, perf-only retune: every pair is already adjudicated
+    assert r2["n_new_adjudicated"] == 0
+
+
+def test_adjudicated_compaction_crash_recovery(spark, tmp_path_factory):
+    """A crash between compaction's two renames leaves the table at
+    .compact.old and nothing live; the next cycle must restore it (and
+    re-verify nothing) instead of stamping a fresh dir and silently
+    re-adjudicating the world."""
+    import shutil
+
+    from distributed_gpu_lsh_using_sycl_spark.streaming.e2e import (
+        streaming_dedup_cycle)
+
+    base = tmp_path_factory.mktemp("adj_crash")
+    inp = str(base / "in")
+    wh = str(base / "wh")
+    os.makedirs(inp)
+    images, _ = make_fixture_pandas(40, seed=42)
+    spark.createDataFrame(images).write.mode("overwrite") \
+        .parquet(os.path.join(inp, "w1"))
+    r1 = streaming_dedup_cycle(spark, inp + "/*", wh, CFG)
+    assert r1["n_new_adjudicated"] > 0
+    want = {row["image_id"]: row["cluster_id"]
+            for row in r1["clusters"].collect()}
+
+    adj = os.path.join(wh, "adjudicated")
+    # simulate the crash window: table moved aside, live path gone
+    shutil.move(adj, adj + ".compact.old")
+    r2 = streaming_dedup_cycle(spark, inp + "/*", wh, CFG)
+    assert r2["n_new_adjudicated"] == 0  # recovered, nothing re-verified
+    got = {row["image_id"]: row["cluster_id"]
+           for row in r2["clusters"].collect()}
+    assert got == want
+    assert not os.path.exists(adj + ".compact.old")

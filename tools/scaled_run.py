@@ -65,8 +65,22 @@ MARKERS = {
 def make_scaled_dir(spark, base: str, out: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(out, "_SCALED_OK")):
-        return
+    from distributed_gpu_lsh_using_sycl_spark.sources.artifacts import (
+        source_fingerprint)
+
+    # stamp carries the base snapshot fingerprint: regenerated sf0.1
+    # tables must rebuild the scaled copies, not silently reuse ones
+    # derived from the old base
+    want = (f"base={base} factor={factor} "
+            f"fp={source_fingerprint(base)}\n")
+    stamp = os.path.join(out, "_SCALED_OK")
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read() == want:
+                return
+        import shutil
+
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
     reps = spark.range(factor).select(F.col("id").cast("int").alias("rep"))
@@ -112,8 +126,8 @@ def make_scaled_dir(spark, base: str, out: str, factor: int) -> None:
      .repartition(32)
      .write.mode("overwrite")
      .parquet(os.path.join(out, "embeddings.parquet")))
-    with open(os.path.join(out, "_SCALED_OK"), "w") as f:
-        f.write(f"base={base} factor={factor}\n")
+    with open(stamp, "w") as f:
+        f.write(want)
 
 
 def plan_markers(df) -> dict:
