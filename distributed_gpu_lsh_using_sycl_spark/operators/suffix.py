@@ -190,24 +190,43 @@ def longest_common_substring(a: str, b: str) -> int:
     return int(lcp[1:][cross].max())
 
 
+def shares_window(a: str, b: str, L: int) -> bool:
+    """Exact "∃ shared length-L substring" — EQUIVALENT to
+    ``lcs_fast(a, b) >= L`` (an LCS of length >= L contains a length-L
+    window and vice versa; property-pinned in tests) at a fraction of the
+    cost: one window-set probe at k=L instead of lcs_fast's ~log2(len)
+    binary-search probes. This is the verify's whole question — the exact
+    LCS length is never consumed downstream."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) < L:
+        return False
+    if a in b:
+        return True  # len(a) >= L here, so containment implies a window
+    wa = {a[i:i + L] for i in range(len(a) - L + 1)}
+    return any(b[i:i + L] in wa for i in range(len(b) - L + 1))
+
+
 def verify_substring_pairs(cands: DataFrame, docs: DataFrame, cfg: LshConfig,
                            id_col: str = "image_id", text_col: str = "caption") -> DataFrame:
-    """(a, b) candidates -> (a, b, lcs, contains, source) with lcs ≥ L kept."""
+    """(a, b) candidates -> (a, b, contains, source), keeping exactly the
+    pairs with a true shared length-L window (kills the window-hash
+    join's 31-bit collision false positives; ``shares_window`` is the
+    single-probe equivalent of the old ``lcs_fast >= L`` filter)."""
     L = cfg.min_substring_len
     d = docs.select(F.col(id_col).alias("image_id"), F.col(text_col).alias("text"))
     withs = (cands
              .join(d.select(F.col("image_id").alias("a"), F.col("text").alias("text_a")), "a")
              .join(d.select(F.col("image_id").alias("b"), F.col("text").alias("text_b")), "b"))
 
-    @F.pandas_udf(T.IntegerType())
-    def lcs_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        return pd.Series([lcs_fast(x or "", y or "")
-                          for x, y in zip(ta, tb)], dtype="int32")
+    @F.pandas_udf(T.BooleanType())
+    def shares_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series([shares_window(x or "", y or "", L)
+                          for x, y in zip(ta, tb)], dtype="bool")
 
     return (withs
-            .withColumn("lcs", lcs_udf("text_a", "text_b"))
-            .filter(F.col("lcs") >= F.lit(L))
+            .filter(shares_udf("text_a", "text_b"))
             .withColumn("contains",
                         F.col("text_b").contains(F.col("text_a"))
                         | F.col("text_a").contains(F.col("text_b")))
-            .select("a", "b", "lcs", "contains", F.lit("substring").alias("source")))
+            .select("a", "b", "contains", F.lit("substring").alias("source")))
