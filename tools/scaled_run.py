@@ -204,15 +204,16 @@ def main() -> int:
                              f"RUN_SCALED_x{args.factor}.json")
     result: dict = {"factor": args.factor, "base": args.base,
                     "cpus": cpus, "queries": {}, "plans": {}}
-    if not args.force:  # merge: reuse completed timings from a prior run
-        try:
-            with open(json_path) as f:
-                prior = json.load(f)
-            if prior.get("factor") == args.factor:
-                result["queries"].update(prior.get("queries", {}))
-                result["plans"].update(prior.get("plans", {}))
-        except OSError:
-            pass
+    # merge: always reuse the prior record; --force re-times the NAMED
+    # queries only (never discards other queries' rows)
+    try:
+        with open(json_path) as f:
+            prior = json.load(f)
+        if prior.get("factor") == args.factor:
+            result["queries"].update(prior.get("queries", {}))
+            result["plans"].update(prior.get("plans", {}))
+    except OSError:
+        pass
 
     def timed(name, sf_dir, passes):
         walls = []
@@ -226,6 +227,8 @@ def main() -> int:
 
     for name in names:
         r = result["queries"].get(name, {})
+        if args.force:
+            r = {}
         if "walls" not in r:
             r["walls"] = timed(name, out, args.passes)
             r["best"] = min(r["walls"])
