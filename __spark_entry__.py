@@ -179,10 +179,11 @@ def q_lcs_window_pairs(spark, sf):
     plan: rolling window-HASH equi-join (operators/suffix.py; the shuffle
     key is one int64 instead of a 24-char string — 3x narrower exchange),
     candidates through the shared salted/skew-split machinery, then exact
-    ``lcs_fast`` verification which removes the (candidate-only-adding)
-    31-bit hash collisions. lcs(a,b) >= L is EQUIVALENT to sharing one
-    length-L character window, so the DuckDB window-string-join oracle is
-    unchanged and value-hash checks the whole hash+verify chain."""
+    ``shares_window`` verification (one shared length-L window probe)
+    which removes the (candidate-only-adding) 31-bit hash collisions.
+    lcs(a,b) >= L is EQUIVALENT to sharing one length-L character window,
+    so the DuckDB window-string-join oracle is unchanged and value-hash
+    checks the whole hash+verify chain."""
     from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
     from distributed_gpu_lsh_using_sycl_spark.operators.suffix import (
         substring_candidates, verify_substring_pairs)

@@ -60,19 +60,30 @@ def _downsample_keep(cfg: LshConfig):
     )
 
 
+def plan_threshold(cfg: LshConfig) -> int:
+    """The single cnt threshold above which a bucket influences the pair
+    plan: min(hot_bucket_threshold, max_bucket_size-if-on). Shared by
+    ``over_threshold_stats`` and ``candidate_pairs_from_bands`` so the
+    pre-filtered stats frame and the pair plan's own filter can never
+    disagree — a bucket missing from the broadcast plan coalesces cnt to
+    0 downstream, which reads as "under the cap" and silently skips its
+    down-sample."""
+    thr = cfg.hot_bucket_threshold
+    if cfg.max_bucket_size > 0:
+        thr = min(thr, cfg.max_bucket_size)
+    return thr
+
+
 def over_threshold_stats(bands: DataFrame, cfg: LshConfig) -> DataFrame:
     """``bucket_stats`` filtered to every bucket any salt/cap decision
-    needs: cnt > min(hot_bucket_threshold, max_bucket_size-if-on). Small
-    by the skew assumption (hot + degenerate buckets are by definition
-    few), so callers localCheckpoint it and feed the SAME frame to both
+    needs: cnt > ``plan_threshold(cfg)``. Small by the skew assumption
+    (hot + degenerate buckets are by definition few), so callers
+    localCheckpoint it and feed the SAME frame to both
     ``candidate_pairs_from_bands`` and ``downsample_dropped`` — the
     full-width stats shuffle then runs ONCE per banding frame instead of
     once per consumer (the pipeline previously re-ran it just to count
     drops)."""
-    thr = cfg.hot_bucket_threshold
-    if cfg.max_bucket_size > 0:
-        thr = min(thr, cfg.max_bucket_size)
-    return bucket_stats(bands).filter(F.col("cnt") > thr)
+    return bucket_stats(bands).filter(F.col("cnt") > plan_threshold(cfg))
 
 
 def downsample_dropped(bands: DataFrame, cfg: LshConfig,
@@ -117,13 +128,11 @@ def candidate_pairs_from_bands(bands: DataFrame, cfg: LshConfig,
     # the plan coalesces cnt to 0 downstream, which the keep-predicate
     # reads as "under the cap", silently skipping the down-sample while
     # downsample_dropped (driven by the same stats) reports its members
-    # as dropped. Same threshold as over_threshold_stats, so passing that
-    # frame in makes this filter a no-op; still few rows by the skew
-    # assumption, so the broadcast stands.
-    thr = cfg.hot_bucket_threshold
-    if cfg.max_bucket_size > 0:
-        thr = min(thr, cfg.max_bucket_size)
-    over = stats.filter(F.col("cnt") > thr)
+    # as dropped. plan_threshold is the one shared definition (equal to
+    # over_threshold_stats' filter, so passing that frame in makes this a
+    # no-op); still few rows by the skew assumption, so the broadcast
+    # stands.
+    over = stats.filter(F.col("cnt") > plan_threshold(cfg))
 
     m_col = F.when(
         F.col("cnt") > cfg.hot_bucket_threshold,

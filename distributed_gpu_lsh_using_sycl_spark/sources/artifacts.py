@@ -102,16 +102,40 @@ def cached_parquet_artifact(spark: SparkSession, name: str, source: str,
 
     tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # Publish protocol: NEVER delete anything reachable at `path` that
+    # carries _SUCCESS — a concurrent session may already be serving it
+    # (an unconditional rmtree here briefly unlinks a live artifact and,
+    # if this process then dies, loses it entirely). A crash leftover
+    # (dir WITHOUT _SUCCESS) is first atomically renamed aside — only
+    # one racer's rename can succeed, so only the claimant deletes — and
+    # only then removed. os.rename(tmp, path) fails while anything sits
+    # at `path`, so a published winner is never overwritten.
+    for _ in range(8):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # a concurrent build published first; both are deterministic
+            # so theirs is identical — discard ours, serve the published
+            shutil.rmtree(tmp, ignore_errors=True)
+            return spark.read.parquet(path)
+        try:
+            os.rename(tmp, path)
+            return spark.read.parquet(path)
+        except OSError:
+            pass  # something occupies `path`
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # crash leftover: claim it by atomic rename, then delete the
+            # claimed copy (ours alone — never the live path)
+            aside = f"{path}.stale.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(path, aside)
+            except OSError:
+                continue  # another racer claimed or published; re-check
+            shutil.rmtree(aside, ignore_errors=True)
+    # bounded retries exhausted (pathological racer churn): serve
+    # whatever won if complete, else surface the conflict loudly
+    shutil.rmtree(tmp, ignore_errors=True)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        # a concurrent build published first; both are deterministic so
-        # theirs is identical — discard ours and serve the published one
-        shutil.rmtree(tmp, ignore_errors=True)
         return spark.read.parquet(path)
-    # a dir without _SUCCESS is a crash leftover — safe to replace
-    shutil.rmtree(path, ignore_errors=True)
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        # lost a publish race after the existence check; keep the winner
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    raise RuntimeError(
+        f"artifact publish for {path!r} lost 8 straight claim races and "
+        "no complete artifact exists — clean the artifact root of stale "
+        ".tmp/.stale dirs and rerun")

@@ -68,13 +68,21 @@ _VERSION_FILE = "_DLSH_STATE_VERSION"
 
 def _state_layout_stamp(cfg: LshConfig | None = None) -> str:
     """What the checkpointed state's readability depends on: the schema/
-    key layout version PLUS the bucket-grouping factor — resuming a
-    checkpoint under a different ``state_group_buckets`` would re-map
-    every bucket to a different coarse key, making prior members
-    invisible (silently MISSED pairs, no error at all)."""
-    g = cfg.state_group_buckets if cfg is not None else None
-    return f"{STATE_FORMAT_VERSION}:g{g}" if g is not None \
-        else str(STATE_FORMAT_VERSION)
+    key layout version PLUS every config field that determines which
+    (band_id, bucket) a signature lands in. ``state_group_buckets``
+    remaps the coarse key; the signature-chain fields (shingle size,
+    pool, rows/bands, modulus, seed) remap the bucket VALUES themselves —
+    either way, resuming a checkpoint written under different values
+    makes prior members invisible to new arrivals (silently MISSED
+    pairs, no error at all), so all of them must refuse a mismatched
+    resume. Perf-only knobs (Arrow batch size, salting, shuffle width)
+    deliberately stay out: they cannot move a row's key."""
+    if cfg is None:
+        return str(STATE_FORMAT_VERSION)
+    keydef = (f"g{cfg.state_group_buckets}:sh{cfg.shingle_size}"
+              f":p{cfg.signature_pool_size}:r{cfg.rows_per_band}"
+              f":b{cfg.num_bands}:m{cfg.bucket_modulus}:s{cfg.seed}")
+    return f"{STATE_FORMAT_VERSION}:{keydef}"
 
 
 def _check_state_version(checkpoint_dir: str,

@@ -271,6 +271,18 @@ def test_state_checkpoint_version_guard(tmp_path):
     other = dataclasses.replace(CFG, state_group_buckets=7)
     with pytest.raises(RuntimeError, match="g7"):
         _check_state_version(str(ck), other)
+    # signature-chain change (bucket VALUES remap, not just the coarse
+    # key): every field that moves a row's (band, bucket) must refuse a
+    # resume — prior members would be invisible to new arrivals
+    for field, val in [("num_bands", CFG.num_bands + 1),
+                       ("rows_per_band", CFG.rows_per_band + 1),
+                       ("signature_pool_size", CFG.signature_pool_size + 1),
+                       ("bucket_modulus", 105_607),
+                       ("shingle_size", CFG.shingle_size + 1),
+                       ("seed", CFG.seed + 1)]:
+        rechained = dataclasses.replace(CFG, **{field: val})
+        with pytest.raises(RuntimeError, match="state layout"):
+            _check_state_version(str(ck), rechained)
     stamp.write_text("1")  # restore for the tail of the test
 
     stamp.unlink()                 # pre-versioning checkpoint with
