@@ -157,11 +157,16 @@ def q_dedup_minhash_blobscan_pairs(spark, sf):
 def q_dedup_substring_pairs(spark, sf):
     """Scalable containment dedup: rolling-window-hash join candidates,
     exact `contains` verification. Semantics: a<b, min(len)>=L, one text
-    contained in the other."""
+    contained in the other. Winnow stride 4 (2.5x fewer fingerprint rows
+    than every-window): this query's verify is a pure JVM `contains`, so
+    the extra short-gram candidates are near-free and the fingerprint
+    row reduction wins outright (interleaved A/B at sf0.1: ~2.5-2.9s vs
+    the 5.53s every-window record; the verified pair set is
+    stride-invariant by the winnowing guarantee, pinned in tests)."""
     from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
     from distributed_gpu_lsh_using_sycl_spark.operators.suffix import substring_candidates
 
-    cfg = LshConfig(min_substring_len=SUBSTR_L)
+    cfg = LshConfig(min_substring_len=SUBSTR_L, substring_winnow_stride=4)
     d = _t(spark, sf, "documents")
     cands = substring_candidates(d, cfg, id_col="doc_id", text_col="text")
     t = d.select("doc_id", "text")

@@ -40,6 +40,23 @@ class LshConfig:
     hamming_threshold: int = 8
     #: minimum common-substring length (chars) for the suffix/substring pass.
     min_substring_len: int = 24
+    #: winnowing stride for the substring pass's window fingerprints:
+    #: k-grams (k = min_substring_len - stride + 1) selected as the min of
+    #: every ``stride`` consecutive positions — ~2/(stride+1) of the
+    #: all-windows row count through the explode/shuffle/self-join, with
+    #: recall over >=L pairs still EXACTLY 1.0 (the winnowing guarantee;
+    #: operators/suffix._winnowed_hashes). <=1 emits every window.
+    #: Candidate-generation only — the verified pair set is identical at
+    #: any stride (pinned in tests), so no state/adjudication stamp needs
+    #: this field. The trade: larger strides shrink the exploded
+    #: fingerprint frame (the shuffle that binds at corpus scale) but
+    #: shorter grams admit more false candidates for verify (sf0.1
+    #: candidate counts at L=24: stride 1 -> 26k, 4 -> 86k, 8 -> 536k).
+    #: Default 2 keeps verify cost flat for the Python window-probe path;
+    #: callers whose verify is pure-JVM `contains` should raise it to 4+
+    #: (q_dedup_substring_pairs does), and corpus-scale deployments where
+    #: the fingerprint shuffle dominates should raise it regardless.
+    substring_winnow_stride: int = 2
 
     # ---- skew handling ----
     #: buckets with more members than this get salted (split) before the

@@ -58,3 +58,64 @@ def test_shares_window_equals_lcs_threshold():
     for a, b in cases:
         for L in (1, 2, 3, 5, 8, 24):
             assert shares_window(a, b, L) == (lcs_fast(a, b) >= L), (a, b, L)
+
+
+def test_winnowed_fingerprints_guarantee_and_pair_set():
+    """The winnowing guarantee, unit level: any two strings sharing a
+    substring of length >= L share a selected fingerprint at EVERY
+    stride (recall 1.0 over >=L pairs is exact, not probabilistic); and
+    below-L texts emit nothing. Plus the fallback contract: stride <= 1
+    or too-short grams = the all-windows scheme."""
+    import numpy as np
+
+    from distributed_gpu_lsh_using_sycl_spark.operators.suffix import (
+        _window_hashes, _winnowed_hashes)
+
+    L = 24
+    rng = np.random.Generator(np.random.PCG64(5))
+    letters = list("abcd")
+    for trial in range(400):
+        shared = "".join(rng.choice(letters, int(rng.integers(L, 40))))
+        mk = lambda: "".join(rng.choice(letters, int(rng.integers(0, 30))))
+        a, b = mk() + shared + mk(), mk() + shared + mk()
+        for stride in (2, 4, 8, 13):
+            wa = set(_winnowed_hashes(a, L, stride).tolist())
+            wb = set(_winnowed_hashes(b, L, stride).tolist())
+            assert wa & wb, (trial, stride)
+    # short text: no >=L window possible, no fingerprint emitted
+    assert _winnowed_hashes("x" * (L - 1), L, 8).size == 0
+    # fallback: stride<=1 and gram-too-short both give every window
+    t = "the quick brown fox jumps over the lazy dog twice over"
+    assert np.array_equal(_winnowed_hashes(t, L, 1), _window_hashes(t, L))
+    assert np.array_equal(_winnowed_hashes(t, L, L), _window_hashes(t, L))
+    # density actually drops (the point of the exercise)
+    assert _winnowed_hashes(t, L, 8).size < _window_hashes(t, L).size
+
+
+def test_winnowed_candidates_verify_to_identical_pairs(spark):
+    """End-to-end: the VERIFIED substring pair set is identical at any
+    winnow stride (candidates differ; the verify makes them converge) —
+    the invariant that lets the fingerprint density drop 4x without
+    moving a single driver-checked row."""
+    import dataclasses
+
+    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+    from distributed_gpu_lsh_using_sycl_spark.operators.suffix import (
+        substring_candidates, verify_substring_pairs)
+    from distributed_gpu_lsh_using_sycl_spark.sources.fixture import (
+        make_fixture_spark)
+
+    docs = make_fixture_spark(spark, n_rows=400, seed=3)
+    base = LshConfig(min_substring_len=24)
+
+    def pairs(cfg):
+        cands = substring_candidates(docs, cfg)
+        return sorted(
+            tuple(r) for r in verify_substring_pairs(cands, docs, cfg)
+            .select("a", "b").collect())
+
+    want = pairs(dataclasses.replace(base, substring_winnow_stride=1))
+    assert len(want) > 0
+    for stride in (4, 8):
+        got = pairs(dataclasses.replace(base, substring_winnow_stride=stride))
+        assert got == want, stride
