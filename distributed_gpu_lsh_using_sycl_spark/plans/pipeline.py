@@ -35,6 +35,17 @@ from distributed_gpu_lsh_using_sycl_spark.sources.tables import TableIO
 STAGES = ("signatures", "bands", "cand_minhash", "cand_simhash", "cand_phash",
           "cand_substring", "pairs", "edges", "clusters")
 
+#: default verified-edge bound for the clusters stage's driver union-find
+#: fast path (connected_components small_graph_threshold; same bound and
+#: rationale as streaming/e2e.RECONCILE_SMALL_GRAPH_EDGES: ~tens of MB of
+#: Arrow-collected id pairs at the bound). In a dedup workload verified
+#: edges are O(duplicates), a small fraction of |V| — a corpus whose edge
+#: set exceeds this takes the distributed star loop automatically, so the
+#: 10^12-row contract is unchanged; the fast path only removes ~4 rounds
+#: x ~10 shuffle stages of fixed scheduling latency when the graph is
+#: driver-sized anyway. Pass cc_small_graph_edges=0 to force the loop.
+CC_SMALL_GRAPH_EDGES = 200_000
+
 
 @dataclass
 class PipelineResult:
@@ -57,13 +68,21 @@ class DedupPipeline:
     def __init__(self, spark: SparkSession, cfg: LshConfig,
                  io: TableIO | None = None, with_image: bool = True,
                  id_col: str = "image_id", text_col: str = "caption",
-                 scan_path: str | None = None):
+                 scan_path: str | None = None,
+                 cc_small_graph_edges: int = CC_SMALL_GRAPH_EDGES):
         self.spark = spark
         self.cfg = cfg
         self.io = io
         self.with_image = with_image
         self.id_col = id_col
         self.text_col = text_col
+        #: verified-edge count at or under which the clusters stage solves
+        #: CC with driver-side union-find instead of the star loop — an
+        #: execution-strategy knob (identical assignments, pinned in
+        #: tests/test_components.py), NOT a semantic one, so it stays out
+        #: of the config hash. See connected_components's docstring; the
+        #: streaming reconcile uses the same bound for the same reason.
+        self.cc_small_graph_edges = cc_small_graph_edges
         #: parquet path of the input table, when known: the signature
         #: stage then uses the blob-scan pushdown (sources/blob_scan.py)
         #: so image bytes never transit the JVM — bit-identical
@@ -116,7 +135,17 @@ class DedupPipeline:
                 and self.io.exists(stage))
 
     def _stage(self, name: str, build) -> DataFrame:
-        """Run or resume one stage; materialize via TableIO when present."""
+        """Run or resume one stage; each stage output is MATERIALIZED —
+        to a warehouse table via TableIO when present, else to an eager
+        ``localCheckpoint``. The checkpoint keeps the no-warehouse mode
+        on the stage-graph contract (each stage = one materialized
+        table): without it every downstream consumer re-executes the
+        lazy upstream chain — measured on the flagship, the clusters
+        stage was paying the blob-scan signature pass and BOTH salted
+        candidate joins a second time (~5s of a ~10s wall at sf0.1) to
+        verify a few hundred pairs. Per-stage walls become honest too:
+        the cost lands in the stage that did the work, not in whichever
+        consumer happened to evaluate first."""
         if self._done(name):
             df = self.io.read(name)
             self._record(name, "SKIPPED", None, 0)
@@ -129,8 +158,9 @@ class DedupPipeline:
             rows = out.count()
             self._record(name, "DONE", rows, int((time.perf_counter() - t0) * 1000))
             return out
-        self._record(name, "LAZY", None, int((time.perf_counter() - t0) * 1000))
-        return df
+        out = df.localCheckpoint(eager=True)
+        self._record(name, "DONE", None, int((time.perf_counter() - t0) * 1000))
+        return out
 
     # ------------------------------------------------------------------ #
     # the plan
@@ -234,7 +264,9 @@ class DedupPipeline:
         t["edges"] = self._stage("edges", lambda: pairs.verified_edges(t["pairs"]))
         t["clusters"] = self._stage(
             "clusters",
-            lambda: components.assign_clusters(images, t["edges"], id_col=self.id_col))
+            lambda: components.assign_clusters(
+                images, t["edges"], id_col=self.id_col,
+                small_graph_threshold=self.cc_small_graph_edges))
 
         if self.io:
             mdf = self.spark.createDataFrame(
@@ -256,12 +288,13 @@ class DedupPipeline:
 def run_dedup(spark: SparkSession, images: DataFrame, cfg: LshConfig | None = None,
               warehouse: str | None = None, with_image: bool = True,
               id_col: str = "image_id", text_col: str = "caption",
-              scan_path: str | None = None) -> PipelineResult:
+              scan_path: str | None = None,
+              cc_small_graph_edges: int = CC_SMALL_GRAPH_EDGES) -> PipelineResult:
     cfg = cfg or LshConfig()
     io = TableIO(spark, warehouse, cfg.table_format) if warehouse else None
     return DedupPipeline(spark, cfg, io=io, with_image=with_image,
-                         id_col=id_col, text_col=text_col,
-                         scan_path=scan_path).run(images)
+                         id_col=id_col, text_col=text_col, scan_path=scan_path,
+                         cc_small_graph_edges=cc_small_graph_edges).run(images)
 
 
 def _main() -> None:
