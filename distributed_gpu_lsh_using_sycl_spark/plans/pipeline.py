@@ -135,17 +135,19 @@ class DedupPipeline:
                 and self.io.exists(stage))
 
     def _stage(self, name: str, build) -> DataFrame:
-        """Run or resume one stage; each stage output is MATERIALIZED —
-        to a warehouse table via TableIO when present, else to an eager
-        ``localCheckpoint``. The checkpoint keeps the no-warehouse mode
-        on the stage-graph contract (each stage = one materialized
-        table): without it every downstream consumer re-executes the
-        lazy upstream chain — measured on the flagship, the clusters
-        stage was paying the blob-scan signature pass and BOTH salted
-        candidate joins a second time (~5s of a ~10s wall at sf0.1) to
-        verify a few hundred pairs. Per-stage walls become honest too:
-        the cost lands in the stage that did the work, not in whichever
-        consumer happened to evaluate first."""
+        """Run or resume one stage; materialize via TableIO when present.
+
+        With io=None the stage stays LAZY — deliberately. An eager
+        per-stage ``localCheckpoint`` variant was A/B'd (interleaved,
+        same session, sf0.1 and 10x): it LOSES at 10x (min wall 61.72s
+        eager vs 45.98s lazy), because the no-warehouse graph is
+        consumed through connected_components' entry checkpoint, which
+        materializes the verified-edge chain exactly once anyway — so
+        laziness costs no recompute on the main path, while eager
+        staging pays real block-manager writes for the wide signature
+        and band frames. Operators whose output feeds multiple
+        consumers checkpoint internally (substring_candidates'
+        fingerprint frame; connected_components' edge set)."""
         if self._done(name):
             df = self.io.read(name)
             self._record(name, "SKIPPED", None, 0)
@@ -158,9 +160,8 @@ class DedupPipeline:
             rows = out.count()
             self._record(name, "DONE", rows, int((time.perf_counter() - t0) * 1000))
             return out
-        out = df.localCheckpoint(eager=True)
-        self._record(name, "DONE", None, int((time.perf_counter() - t0) * 1000))
-        return out
+        self._record(name, "LAZY", None, int((time.perf_counter() - t0) * 1000))
+        return df
 
     # ------------------------------------------------------------------ #
     # the plan

@@ -303,14 +303,19 @@ def main() -> int:
           f"{args.factor}x data | plan flips |",
           "|---|---|---|---|---|---|"]
     for name, r in result["queries"].items():
-        pl = result["plans"][name]
-        diffs = [f"{k}: {pl['sf0.1'][k]}→{pl['scaled'][k]}"
-                 for k in MARKERS if pl["sf0.1"][k] != pl["scaled"][k]]
+        pl = result["plans"].get(name, {})
+        if "sf0.1" in pl and "scaled" in pl:
+            diffs = [f"{k}: {pl['sf0.1'][k]}→{pl['scaled'][k]}"
+                     for k in MARKERS if pl["sf0.1"][k] != pl["scaled"][k]]
+            flips = "; ".join(diffs) or "none (static plans identical)"
+        else:
+            # eager builders carry {"skipped": reason} instead of marker
+            # dicts (their returned frame is a plain output-table scan)
+            flips = pl.get("skipped", "—")
         base = rec.get(name, r.get("base_best"))
         growth = f"{r['best'] / base:.1f}x" if base else "—"
         md.append(f"| {name} | {r['walls']} | {r['best']} | "
-                  f"{base or '—'} | {growth} | "
-                  f"{'; '.join(diffs) or 'none (static plans identical)'} |")
+                  f"{base or '—'} | {growth} | {flips} |")
     md_path = os.path.join(REPO, "BENCH", f"RUN_SCALED_x{args.factor}.md")
     with open(md_path, "w") as f:
         f.write("\n".join(md) + "\n")
