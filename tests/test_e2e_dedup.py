@@ -140,3 +140,21 @@ def test_singletons_are_self_clusters(pipeline_result):
     for r in clusters.collect():
         if r["image_id"] not in ids_in_pairs:
             assert r["cluster_id"] == r["image_id"]
+
+
+def test_cc_fast_path_matches_star_loop(spark, oracle_truth, pipeline_result):
+    """The pipeline's clusters stage defaults to the CC small-graph fast
+    path (driver union-find at <= CC_SMALL_GRAPH_EDGES verified edges);
+    forcing the distributed star loop (threshold 0) must produce the
+    identical assignment — the threshold is an execution-strategy knob,
+    never a semantic one."""
+    from distributed_gpu_lsh_using_sycl_spark.plans.pipeline import run_dedup
+
+    images, _, _, _ = oracle_truth
+    df = spark.createDataFrame(images)
+    loop = run_dedup(spark, df, CFG, cc_small_graph_edges=0)
+    fast = {(r["image_id"], r["cluster_id"])
+            for r in pipeline_result["clusters"].collect()}
+    slow = {(r["image_id"], r["cluster_id"])
+            for r in loop["clusters"].collect()}
+    assert fast == slow
