@@ -243,6 +243,21 @@ def seqdot(points: np.ndarray, coeffs: np.ndarray, init=None) -> np.ndarray:
     return acc
 
 
+def seqdiffsq(points: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
+    """Left-fold squared L2: acc_d+1 = acc_d + (x_d - c_d)^2 — the exact
+    FP order of Spark's aggregate(zip_with((x,y) -> (x-y)*(x-y))) fold
+    and DuckDB's list_reduce, so the vectorized kernel is BIT-IDENTICAL
+    to the JVM/SQL sequential folds (same guarantee as ``seqdot``).
+    ``points``: (n, d); ``coeffs``: (m, d); returns (n, m)."""
+    n, d = points.shape
+    m = coeffs.shape[0]
+    acc = np.zeros((n, m), dtype=np.float64)
+    for k in range(d):
+        diff = points[:, k, None] - coeffs[None, :, k]
+        acc = acc + diff * diff
+    return acc
+
+
 def entropy_params(seed: int, pool_size: int, dims: int,
                    num_bands: int, rows_per_band: int):
     """Pool + selection for the entropy-based family.

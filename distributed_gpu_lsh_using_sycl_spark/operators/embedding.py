@@ -331,10 +331,120 @@ def kcenter_codebook(e: DataFrame, source: str, n_centroids: int,
         artifact_root=artifact_root)
 
 
+def _collect_cents(cents: DataFrame, rank_col: str) -> list:
+    """Driver-side copy of the (tiny) quantizer table, ordered by rank.
+    Bounded by max(n_centroids, ks) rows — the same driver-size class as
+    the kcenter training picks (kmeans.kcenter_init) and the reference's
+    pool gen + broadcast (random_projections.cpp:29-79). Doubles round-
+    trip py4j bit-exactly, so kernels fold the IDENTICAL values the JVM
+    fold plan folds."""
+    return sorted(cents.collect(), key=lambda r: r[rank_col])
+
+
+def _ivf_topk_kernel(en: DataFrame, cents: DataFrame, k: int,
+                     n_centroids: int, nprobe: int) -> DataFrame:
+    """Arrow-batched execution of ivf_topk's plan (guide §4.2): the
+    n × n_centroids assignment fold becomes ONE seqdot kernel per Arrow
+    batch, and the candidate re-rank becomes a per-cell cogrouped seqdot
+    matmul — vectors ship to their (nprobe+1) cells ONCE instead of once
+    per candidate pair (guide §8: decide with small rows, move payloads
+    once). Every float op is the same IEEE op in the same order as the
+    fold plan (hashing.seqdot docstring), all rounding/division happens
+    in the JVM on the raw fold values, so the result is bit-identical to
+    kernel=False (pinned in tests/test_embedding.py)."""
+    from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
+
+    crows = _collect_cents(cents, "cent_id")
+    C = np.asarray([r["cv"] for r in crows], dtype=np.float64)
+    cent_ids = [int(r["cent_id"]) for r in crows]
+    cnorms = [float(r["cnorm"]) for r in crows]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def cdots(vs: pd.Series) -> pd.Series:
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        if len(V) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(H.seqdot(V, C).tolist())
+
+    ids_arr = F.array(*[F.lit(i) for i in cent_ids])
+    cn_arr = F.array(*[F.lit(x) for x in cnorms])
+    # raw fold dots from the kernel; division + round stay JVM-side so the
+    # ranked csim is the identical double the fold plan ranks on
+    simc = (en.select("vec_id", "norm",
+                      F.posexplode(cdots("v")).alias("ci", "dotc"))
+            .select("vec_id",
+                    F.element_at(ids_arr, F.col("ci") + 1).alias("cent_id"),
+                    F.round(F.col("dotc")
+                            / (F.col("norm")
+                               * F.element_at(cn_arr, F.col("ci") + 1)), 6)
+                    .alias("csim")))
+    wq = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    ranked = simc.withColumn("rn", F.row_number().over(wq))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell"))
+    probes = ranked.filter(F.col("rn") <= nprobe).select(
+        "vec_id", F.col("cent_id").alias("cell"))
+    # fresh-alias the feature side: assign/probes descend from en, so a
+    # bare self-join on vec_id is ambiguous to the analyzer
+    feat = en.select(F.col("vec_id").alias("fid"), "v", "norm")
+    # every column re-aliased per side: qry and mem share lineage (en +
+    # ranked), and the cogroup analyzer rejects shared expression ids
+    mem = (assign.join(feat, F.col("vec_id") == F.col("fid"))
+           .select(F.col("cell").alias("mcell"),
+                   F.col("vec_id").alias("m_id"),
+                   F.col("v").alias("mv"), F.col("norm").alias("mnorm")))
+    qry = (probes.join(feat, F.col("vec_id") == F.col("fid"))
+           .select(F.col("cell").alias("qcell"),
+                   F.col("vec_id").alias("q_id"),
+                   F.col("v").alias("qv"), F.col("norm").alias("qnorm")))
+    idt = en.schema["vec_id"].dataType.simpleString()
+
+    def cell_sims(qpdf, mpdf):
+        cols = ["q", "m", "dotqm", "na", "nb"]
+        if len(qpdf) == 0 or len(mpdf) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        Q = np.asarray(qpdf["qv"].tolist(), dtype=np.float64)
+        M = np.asarray(mpdf["mv"].tolist(), dtype=np.float64)
+        D = H.seqdot(Q, M)
+        qid = qpdf["q_id"].to_numpy()
+        mid = mpdf["m_id"].to_numpy()
+        qn = qpdf["qnorm"].to_numpy(dtype=np.float64)
+        mn = mpdf["mnorm"].to_numpy(dtype=np.float64)
+        # Per-query pruning WITH SLACK: the global rank orders by
+        # F.round(dot/(na*nb), 6) desc. np.round may differ from the JVM
+        # round by at most one 1e-6 grid step, so keeping every member
+        # within 2e-6 of the row's k-th np-rounded sim provably retains
+        # this cell's contribution to the JVM top-k; the JVM window does
+        # the exact final ranking. Self-pairs are masked out.
+        sims = np.round(D / (qn[:, None] * mn[None, :]), 6)
+        notself = qid[:, None] != mid[None, :]
+        sims = np.where(notself, sims, -np.inf)
+        nk = min(k, sims.shape[1])
+        kth = -np.partition(-sims, nk - 1, axis=1)[:, nk - 1]
+        keep = notself & (sims >= kth[:, None] - 2e-6)
+        qi, mi = np.nonzero(keep)
+        return pd.DataFrame({"q": qid[qi], "m": mid[mi],
+                              "dotqm": D[qi, mi],
+                              "na": qn[qi], "nb": mn[mi]})
+
+    sims = (qry.groupBy("qcell").cogroup(mem.groupBy("mcell"))
+            .applyInPandas(cell_sims,
+                           f"q {idt}, m {idt}, dotqm double, "
+                           f"na double, nb double"))
+    out = sims.withColumn(
+        "sim", F.round(F.col("dotqm") / (F.col("na") * F.col("nb")), 6))
+    w = W.partitionBy("q").orderBy(F.col("sim").desc(), F.col("m"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q").alias("vec_id"),
+                    F.col("m").alias("neighbor_id"), "rank", "sim"))
+
+
 def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
                nprobe: int = 4, n_sub: int = 8, ks: int = 16,
                id_col: str = "vec_id", vec_col: str = "v",
-               dims: int = 64, cents: DataFrame | None = None) -> DataFrame:
+               dims: int = 64, cents: DataFrame | None = None,
+               kernel: bool = True) -> DataFrame:
     """IVF-PQ approximate L2 top-k: coarse inverted-file probe +
     product-quantization ADC ranking — the compressed-domain scale path
     next to IVF-flat (ivf_topk) and hyperplane LSH (ann_topk_lsh),
@@ -368,38 +478,104 @@ def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
     """
     assert dims % n_sub == 0, "dims must split evenly into subspaces"
     sub = dims // n_sub
-    if cents is not None:
+    n_code = max(n_centroids, ks)
+    if cents is not None and not kernel:
         # the frame doubles as coarse quantizer AND PQ codebook source:
         # fewer than max(n_centroids, ks) rows would silently underfill
         # the codebook and desync from the oracle's max(n_centroids, ks)
-        # centers — fail loudly at plan-build time instead.
+        # centers — fail loudly at plan-build time instead. (The kernel
+        # mode validates the collected rows below — no extra job.)
         n_cents = cents.count()
-        if n_cents < max(n_centroids, ks):
+        if n_cents < n_code:
             raise ValueError(
                 f"ivfpq_topk cents frame has {n_cents} rows but must carry "
                 f"max(n_centroids={n_centroids}, ks={ks}) = "
-                f"{max(n_centroids, ks)} (cent_id order is both cell rank "
+                f"{n_code} (cent_id order is both cell rank "
                 "and PQ code rank)")
     en = (e.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
           .localCheckpoint(eager=True))
     if cents is None:
         wc = W.orderBy("vec_id")
-        cents = (en.orderBy("vec_id").limit(max(n_centroids, ks))
+        cents = (en.orderBy("vec_id").limit(n_code)
                  .withColumn("crank", F.row_number().over(wc) - 1)
                  .select("crank", F.col("v").alias("cv")))
     else:
         cents = cents.select(
             F.col("cent_id").cast("long").alias("crank"),
             F.col("cv").cast("array<double>").alias("cv"))
-    cents = cents.localCheckpoint(eager=True)  # tiny; also silences the
-    # single-partition-window plan inside the reused broadcast subtree
 
-    # ---- coarse cells: nearest of n_centroids under fold-L2 micros ----
-    ckey = (F.round(diff_sq_col(F.col("v"), F.col("cv")) * 1e6, 0)
-            .cast("long") * n_centroids + F.col("crank"))
-    csd = (en.crossJoin(F.broadcast(cents.filter(F.col("crank") < n_centroids)))
-           .select("vec_id", ckey.alias("key")))
+    if kernel:
+        # Arrow-batched twins of the two crossJoin+fold stages (guide
+        # §4.2): hashing.seqdiffsq is the bit-identical vectorized left
+        # fold, the *1e6 fixed-point rounding stays JVM-side on the raw
+        # fold values, so keys/codes are identical to kernel=False
+        # (pinned in tests/test_embedding.py).
+        from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
+
+        crows = _collect_cents(cents, "crank")
+        if len(crows) < n_code:
+            raise ValueError(
+                f"ivfpq_topk cents frame has {len(crows)} rows but must "
+                f"carry max(n_centroids={n_centroids}, ks={ks}) = {n_code} "
+                "(cent_id order is both cell rank and PQ code rank)")
+        C_all = np.asarray([r["cv"] for r in crows], dtype=np.float64)
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def coarse_dsq(vs: pd.Series) -> pd.Series:
+            V = np.asarray(vs.tolist(), dtype=np.float64)
+            if len(V) == 0:
+                return pd.Series([], dtype=object)
+            return pd.Series(H.seqdiffsq(V, C_all[:n_centroids]).tolist())
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def sub_dsq(vs: pd.Series) -> pd.Series:
+            V = np.asarray(vs.tolist(), dtype=np.float64)
+            if len(V) == 0:
+                return pd.Series([], dtype=object)
+            out = np.empty((len(V), n_sub * ks), dtype=np.float64)
+            for s in range(n_sub):
+                out[:, s * ks:(s + 1) * ks] = H.seqdiffsq(
+                    V[:, s * sub:(s + 1) * sub],
+                    C_all[:ks, s * sub:(s + 1) * sub])
+            return pd.Series(out.tolist())
+
+        # posexplode index == crank (C_all is crank-ordered)
+        csd = (en.select("vec_id",
+                         F.posexplode(coarse_dsq("v")).alias("ci", "draw"))
+               .select("vec_id",
+                       (F.round(F.col("draw") * 1e6, 0).cast("long")
+                        * n_centroids + F.col("ci")).alias("key")))
+        subd_src = (en.select("vec_id",
+                              F.posexplode(sub_dsq("v")).alias("ix", "sraw"))
+                    .select("vec_id",
+                            (F.col("ix") / ks).cast("int").alias("sub_m"),
+                            (F.col("ix") % ks).cast("long").alias("c"),
+                            F.round(F.col("sraw") * 1e6, 0).cast("long")
+                            .alias("sdi")))
+    else:
+        cents = cents.localCheckpoint(eager=True)  # tiny; also silences
+        # the single-partition-window plan inside the broadcast subtree
+
+        # ---- coarse cells: nearest of n_centroids under fold-L2 micros --
+        ckey = (F.round(diff_sq_col(F.col("v"), F.col("cv")) * 1e6, 0)
+                .cast("long") * n_centroids + F.col("crank"))
+        csd = (en.crossJoin(
+            F.broadcast(cents.filter(F.col("crank") < n_centroids)))
+            .select("vec_id", ckey.alias("key")))
+
+        # ---- PQ sub-distances (vector x subspace x code), micros ----
+        subs = F.broadcast(
+            cents.filter(F.col("crank") < ks)
+            .crossJoin(en.sparkSession.range(n_sub).select(
+                F.col("id").cast("int").alias("sub_m")))
+            .select(F.col("crank").alias("c"), "sub_m",
+                    F.slice("cv", F.col("sub_m") * sub + 1, sub).alias("scv")))
+        sdi = (F.round(diff_sq_col(F.slice("v", F.col("sub_m") * sub + 1, sub),
+                                   F.col("scv")) * 1e6, 0).cast("long"))
+        subd_src = en.crossJoin(subs).select("vec_id", "sub_m", "c",
+                                             sdi.alias("sdi"))
+
     wq = W.partitionBy("vec_id").orderBy("key")
     cranked = (csd.withColumn("rn", F.row_number().over(wq))
                .withColumn("cell", F.col("key") % n_centroids))
@@ -411,31 +587,77 @@ def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
             .filter(F.col("q") != F.col("x"))
             .select("q", "x").distinct())
 
-    # ---- PQ sub-distances (vector x subspace x code), micros ----
-    subs = F.broadcast(
-        cents.filter(F.col("crank") < ks)
-        .crossJoin(en.sparkSession.range(n_sub).select(
-            F.col("id").cast("int").alias("sub_m")))
-        .select(F.col("crank").alias("c"), "sub_m",
-                F.slice("cv", F.col("sub_m") * sub + 1, sub).alias("scv")))
-    sdi = (F.round(diff_sq_col(F.slice("v", F.col("sub_m") * sub + 1, sub),
-                               F.col("scv")) * 1e6, 0).cast("long"))
-    subd = (en.crossJoin(subs)
-            .select("vec_id", "sub_m", "c", sdi.alias("sdi"))
-            .localCheckpoint(eager=True))  # feeds codes AND dtable
+    subd = subd_src.localCheckpoint(eager=True)  # feeds codes AND dtable
     codes = (subd.groupBy("vec_id", "sub_m")
              .agg((F.min(F.col("sdi") * ks + F.col("c")) % ks).alias("code"))
              .select(F.col("vec_id").alias("xid"), "sub_m", "code"))
     dtable = subd.select(F.col("vec_id").alias("qid"),
                          F.col("sub_m").alias("qm"), "c", "sdi")
 
-    # ---- ADC: sum the query's table over the candidate's codes ----
-    adc = (cand.join(codes, F.col("x") == F.col("xid"))
-           .join(dtable, [F.col("q") == F.col("qid"),
-                          F.col("sub_m") == F.col("qm"),
-                          F.col("code") == F.col("c")])
-           .groupBy("q", "x")
-           .agg(F.sum("sdi").alias("adci")))
+    if kernel:
+        # ---- ADC as a per-cell cogrouped integer gather (guide §8:
+        # decide with small rows — each member ships its 8 codes and each
+        # query its 128-entry distance table ONCE per probed cell, instead
+        # of the 3-way join materializing n_sub rows per candidate pair).
+        # All arithmetic is exact int64 (sum of sdi micros), so per-cell
+        # top-k under the total order (adci asc, id asc) loses nothing
+        # against the global window — the same restriction argument as
+        # knn_topk_tiled, with no float rounding in sight.
+        codes_arr = (codes.groupBy("xid")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("sub_m", "code"))),
+                         lambda s: s["code"]).alias("mcodes")))
+        dt_arr = (dtable.groupBy("qid")
+                  .agg(F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("qm", "c", "sdi"))),
+                      lambda s: s["sdi"]).alias("qdt")))
+        mem = (assign.join(codes_arr, F.col("x") == F.col("xid"))
+               .select(F.col("cell").alias("mcell"),
+                       F.col("x").alias("m_id"), "mcodes"))
+        qry = (probes.join(dt_arr, F.col("q") == F.col("qid"))
+               .select(F.col("cell").alias("qcell"),
+                       F.col("q").alias("q_id"), "qdt"))
+        idt = en.schema["vec_id"].dataType.simpleString()
+
+        def cell_adc(qpdf, mpdf):
+            cols = ["q", "x", "adci"]
+            if len(qpdf) == 0 or len(mpdf) == 0:
+                return pd.DataFrame({c: [] for c in cols})
+            Cm = np.asarray(mpdf["mcodes"].tolist(), dtype=np.int64)
+            DT = np.asarray(qpdf["qdt"].tolist(), dtype=np.int64) \
+                .reshape(len(qpdf), n_sub, ks)
+            qid = qpdf["q_id"].to_numpy()
+            mid = mpdf["m_id"].to_numpy()
+            adc = np.zeros((len(qid), len(mid)), dtype=np.int64)
+            for s in range(n_sub):
+                adc += DT[:, s, :][:, Cm[:, s]]
+            # canonical member order (id asc) + stable argsort on adci =
+            # exact (adci asc, id asc) ranking; self-pairs sentineled out
+            mo = np.argsort(mid, kind="stable")
+            mid_s, adc_s = mid[mo], adc[:, mo]
+            self_mask = qid[:, None] == mid_s[None, :]
+            adc_s = np.where(self_mask, np.iinfo(np.int64).max, adc_s)
+            nk = min(k, adc_s.shape[1])
+            sel = np.argsort(adc_s, axis=1, kind="stable")[:, :nk]
+            keep = np.take_along_axis(adc_s, sel, axis=1) \
+                != np.iinfo(np.int64).max
+            qi = np.repeat(np.arange(len(qid)), nk)[keep.ravel()]
+            mi = sel.ravel()[keep.ravel()]
+            return pd.DataFrame({"q": qid[qi], "x": mid_s[mi],
+                                 "adci": adc_s[qi, mi]})
+
+        adc = (qry.groupBy("qcell").cogroup(mem.groupBy("mcell"))
+               .applyInPandas(cell_adc, f"q {idt}, x {idt}, adci long"))
+    else:
+        # ---- ADC: sum the query's table over the candidate's codes ----
+        adc = (cand.join(codes, F.col("x") == F.col("xid"))
+               .join(dtable, [F.col("q") == F.col("qid"),
+                              F.col("sub_m") == F.col("qm"),
+                              F.col("code") == F.col("c")])
+               .groupBy("q", "x")
+               .agg(F.sum("sdi").alias("adci")))
     w = W.partitionBy("q").orderBy(F.col("adci").asc(), F.col("x").asc())
     return (adc.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -446,7 +668,8 @@ def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
 
 def ivf_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "v", cents: DataFrame | None = None) -> DataFrame:
+             vec_col: str = "v", cents: DataFrame | None = None,
+             kernel: bool = True) -> DataFrame:
     """IVF-flat approximate cosine top-k — the coarse-quantizer scale path
     next to the LSH one (ann_topk_lsh).
 
@@ -476,6 +699,8 @@ def ivf_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
                               F.col("cv").cast("array<double>"))
                  .withColumn("cnorm",
                              F.sqrt(dot_col(F.col("cv"), F.col("cv")))))
+    if kernel:
+        return _ivf_topk_kernel(en, cents, k, n_centroids, nprobe)
     simc = (en.crossJoin(F.broadcast(cents))
             .withColumn("csim", F.round(dot_col(F.col("v"), F.col("cv"))
                                         / (F.col("norm") * F.col("cnorm")), 6)))

@@ -283,3 +283,28 @@ def test_kcenter_codebook_artifact_cache(spark, pts, tmp_path):
                            "id_col": "vec_id", "vec_col": "v"},
                           artifact_root=root)
     assert fresh != path
+
+
+def test_ivf_kernel_matches_fold(spark, pts):
+    """The Arrow kernel mode (seqdot/seqdiffsq + cogrouped per-cell
+    re-rank/ADC) is bit-identical to the sequential-fold JVM plan — the
+    parity/oracle mode — for IVF-flat and IVF-PQ, including the injected
+    kcenter quantizer."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        ivf_topk, ivfpq_topk, kcenter_cents)
+
+    e = _df(spark, pts)
+    dims = pts.shape[1]
+    for cents in (None, kcenter_cents(e, 16, rounds=2)):
+        a = sorted(tuple(r) for r in
+                   ivf_topk(e, cents=cents, kernel=False).collect())
+        b = sorted(tuple(r) for r in
+                   ivf_topk(e, cents=cents, kernel=True).collect())
+        assert a == b
+        a = sorted(tuple(r) for r in
+                   ivfpq_topk(e, dims=dims, cents=cents,
+                              kernel=False).collect())
+        b = sorted(tuple(r) for r in
+                   ivfpq_topk(e, dims=dims, cents=cents,
+                              kernel=True).collect())
+        assert a == b
