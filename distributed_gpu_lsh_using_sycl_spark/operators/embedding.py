@@ -81,10 +81,96 @@ def hyperplane_bands(e: DataFrame, n_bands: int, bits: int, seed: int,
             .select("image_id", F.posexplode("bk").alias("band_id", "bucket")))
 
 
+def _neardup_pairs_exact(en: DataFrame, tau: float, n: int,
+                         tile_target: int = 1024) -> DataFrame:
+    """EXACT cosine near-dup pairs over pre-normed vectors — the fallback
+    plan the selectivity guardrail takes when banding would enumerate at
+    least the brute-force pair mass anyway (see ``neardup_pairs_lsh``).
+
+    Same tiled block grid as ``knn_topk_tiled`` (bounded per-task memory,
+    no driver data movement), but the dot products are ``hashing.seqdot``
+    — the bit-identical vectorized twin of the JVM fold the LSH verify
+    uses — and the kernel only PRE-FILTERS with a 2e-6 slack on the
+    np-rounded sim; the exact ``F.round(dot/(na*nb), 6) >= tau`` filter
+    runs JVM-side on the raw fold values, so the emitted pair set is the
+    brute-force set under the identical float chain."""
+    import math as _math
+
+    from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
+
+    spark = en.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    n_tiles = max(1, _math.ceil(n / tile_target),
+                  min(int(_math.isqrt(2 * cores)) + 1, max(1, n)))
+    pack_schema = "gid long, ids binary, mat binary, norms binary, nrows long"
+
+    def pack(key, pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.asarray(pdf["v"].tolist(), dtype=np.float64)[order]
+        nm = pdf["norm"].to_numpy(dtype=np.float64)[order]
+        return pd.DataFrame({"gid": [int(key[0])], "ids": [ids.tobytes()],
+                             "mat": [m.tobytes()], "norms": [nm.tobytes()],
+                             "nrows": [len(ids)]})
+
+    packed = (en.select("vec_id", "v", "norm")
+              .groupBy(F.pmod("vec_id", F.lit(n_tiles)).alias("gid"))
+              .applyInPandas(pack, pack_schema)
+              .localCheckpoint(eager=True))
+    left = packed.select(F.col("gid").alias("gi"), F.col("ids").alias("aids"),
+                         F.col("mat").alias("amat"),
+                         F.col("norms").alias("anorm"))
+    right = packed.select(F.col("gid").alias("gj"), F.col("ids").alias("bids"),
+                          F.col("mat").alias("bmat"),
+                          F.col("norms").alias("bnorm"))
+    grid = (left.crossJoin(right).filter(F.col("gi") <= F.col("gj"))
+            .repartition(cores * 2))
+    lo = tau - 2e-6  # slack: np.round vs the JVM round differ by <= one
+    # 1e-6 grid step, so this superset provably contains every pair the
+    # exact JVM filter keeps
+
+    def cell_pairs(batches):
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                aids = np.frombuffer(row.aids, dtype=np.int64)
+                bids = np.frombuffer(row.bids, dtype=np.int64)
+                if not len(aids) or not len(bids):
+                    continue
+                A = np.frombuffer(row.amat).reshape(len(aids), -1)
+                B = np.frombuffer(row.bmat).reshape(len(bids), -1)
+                an = np.frombuffer(row.anorm)
+                bn = np.frombuffer(row.bnorm)
+                D = H.seqdot(A, B)
+                sims = np.round(D / (an[:, None] * bn[None, :]), 6)
+                keep = sims >= lo
+                if row.gi == row.gj:
+                    keep &= aids[:, None] < bids[None, :]
+                ai, bi = np.nonzero(keep)
+                if not len(ai):
+                    continue
+                x, y = aids[ai], bids[bi]
+                outs.append(pd.DataFrame({
+                    "a": np.minimum(x, y), "b": np.maximum(x, y),
+                    "dotab": D[ai, bi], "na": an[ai], "nb": bn[bi]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    allp = grid.mapInPandas(
+        cell_pairs, schema="a long, b long, dotab double, na double, nb double")
+    return (allp
+            .withColumn("sim", F.round(F.col("dotab")
+                                       / (F.col("na") * F.col("nb")), 6))
+            .filter(F.col("sim") >= F.lit(tau))
+            .select("a", "b", "sim"))
+
+
 def neardup_pairs_lsh(e: DataFrame, tau: float, cfg: LshConfig | None = None,
                       n_bands: int = 32, bits: int = 6, seed: int = 7,
                       id_col: str = "vec_id", vec_col: str = "v",
-                      dims: int | None = None) -> DataFrame:
+                      dims: int | None = None,
+                      guard_ratio: float = 1.0) -> DataFrame:
     """Scale path for cosine near-dup pairs: banded hyperplane LSH
     candidates (salted) + exact cosine verify, (a, b, sim) with sim
     rounded to 6 and filtered on the ROUNDED value (oracle contract).
@@ -93,16 +179,48 @@ def neardup_pairs_lsh(e: DataFrame, tau: float, cfg: LshConfig | None = None,
     defaults a tau=0.8 pair is missed with p ≈ (1-0.254)^32 ≈ 8e-5 —
     vanishing vs the brute-force oracle on any planted-dup fixture
     (asserted in tests/test_embedding.py with non-empty truth).
+
+    SELECTIVITY GUARDRAIL (the no-silent-caps rule applied to
+    selectivity): before the candidate self-join, the expected candidate
+    mass Σ C(cnt, 2) is read off the already-needed bucket stats; when it
+    reaches ``guard_ratio`` × C(n, 2) — banding would enumerate at least
+    the brute-force pair mass, as happens at a low ``tau`` operating
+    point — the operator LOGS the collapse and takes the exact tiled plan
+    (``_neardup_pairs_exact``) instead. The result is identical either
+    way (LSH-then-verify reproduces the brute set; both paths share the
+    same fold/round float chain), so only the execution strategy
+    switches. ``guard_ratio <= 0`` disables the guard (always LSH).
     """
+    import logging
+
     from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
-        candidate_pairs_from_bands)
+        bucket_stats, candidate_pairs_from_bands, plan_threshold)
 
     cfg = cfg or LshConfig()
     en = with_norm(e.select(F.col(id_col).alias("vec_id"),
                             F.col(vec_col).alias("v")),
                    "v").localCheckpoint(eager=True)
     bands = hyperplane_bands(en, n_bands, bits, seed, dims=dims)
-    cands = candidate_pairs_from_bands(bands, cfg, source="hyperplane")
+    stats = None
+    if guard_ratio > 0:
+        stats = bucket_stats(bands).localCheckpoint(eager=True)
+        row = stats.agg(
+            F.coalesce(F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2),
+                       F.lit(0.0)).alias("mass"),
+            F.coalesce(F.sum(F.when(F.col("band_id") == 0, F.col("cnt"))),
+                       F.lit(0)).alias("n")).collect()[0]
+        mass, n = float(row["mass"]), int(row["n"])
+        brute_pairs = n * (n - 1) / 2.0
+        if mass >= guard_ratio * brute_pairs:
+            logging.getLogger(__name__).warning(
+                "neardup_pairs_lsh: banding selectivity collapsed "
+                "(expected candidate mass %.0f >= %.2f x brute %.0f at "
+                "tau=%s, %dx%d bands) — taking the exact tiled plan",
+                mass, guard_ratio, brute_pairs, tau, n_bands, bits)
+            return _neardup_pairs_exact(en, tau, n)
+        stats = stats.filter(F.col("cnt") > plan_threshold(cfg))
+    cands = candidate_pairs_from_bands(bands, cfg, source="hyperplane",
+                                       stats=stats)
     va = en.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
                    F.col("norm").alias("na"))
     vb = en.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),

@@ -308,3 +308,32 @@ def test_ivf_kernel_matches_fold(spark, pts):
                    ivfpq_topk(e, dims=dims, cents=cents,
                               kernel=True).collect())
         assert a == b
+
+
+def test_neardup_guardrail_low_tau_falls_back(spark, pts):
+    """At a low-tau operating point (near-orthogonal data, wide bands)
+    the banding's expected candidate mass exceeds the brute-force pair
+    count; the guardrail must take the exact tiled plan and STILL equal
+    brute-force thresholding (the oracle contract is unchanged — only
+    the execution strategy switches)."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+        _neardup_pairs_exact, neardup_pairs_lsh, with_norm)
+
+    tau = 0.2  # low tau: per-band collision ~0.5+ per plane, mass >> brute
+    sims = _brute(pts)
+    iu = np.triu_indices_from(sims, k=1)
+    truth = {(int(a), int(b)) for a, b in zip(*iu) if sims[a, b] >= tau}
+    assert len(truth) > 100
+
+    e = _df(spark, pts)
+    # the full operator (guard on, default ratio) — collapses, equals brute
+    got = {(r["a"], r["b"]) for r in
+           neardup_pairs_lsh(e, tau=tau, n_bands=96, bits=5,
+                             dims=pts.shape[1]).select("a", "b").collect()}
+    assert got == truth
+    # the exact fallback directly, any tau
+    en = with_norm(e.select("vec_id", "v"), "v")
+    got2 = {(r["a"], r["b"]) for r in
+            _neardup_pairs_exact(en, 0.8, len(pts)).select("a", "b").collect()}
+    truth08 = {(int(a), int(b)) for a, b in zip(*iu) if sims[a, b] >= 0.8}
+    assert got2 == truth08
