@@ -243,6 +243,27 @@ def seqdot(points: np.ndarray, coeffs: np.ndarray, init=None) -> np.ndarray:
     return acc
 
 
+def random_projection_buckets_seq(points01: np.ndarray, funcs: np.ndarray,
+                                  w: float, bucket_modulus: int) -> np.ndarray:
+    """The random-projections bucket chain with SEQUENTIAL-fold
+    projections (``seqdot``) — the bit-identical vectorized twin of
+    parity_hash.rp_buckets_df's JVM fold plan (and of the DuckDB
+    oracle's list_reduce), unlike ``random_projection_buckets`` whose
+    einsum order is the reference's own chain. ``points01``: (n, dims)
+    ALREADY affine-mapped into [0,1]; ``funcs``: (L, k, dims+1).
+    Returns (n, L) int64 bucket ids."""
+    L, k, _ = funcs.shape
+    dims = points01.shape[1]
+    proj = seqdot(points01, funcs.reshape(L * k, dims + 1)[:, :dims])
+    h = proj + funcs.reshape(L * k, dims + 1)[None, :, dims]
+    q = np.floor(h / w).astype(np.int64)
+    qi = (q & 0xFFFFFFFF).astype(U32).reshape(len(points01), L, k)
+    combined = np.full((len(points01), L), U32(k), dtype=U32)
+    for r in range(k):
+        combined = hash_combine_u32(combined, qi[:, :, r])
+    return (combined % U32(bucket_modulus)).astype(np.int64)
+
+
 def seqdiffsq(points: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
     """Left-fold squared L2: acc_d+1 = acc_d + (x_d - c_d)^2 — the exact
     FP order of Spark's aggregate(zip_with((x,y) -> (x-y)*(x-y))) fold

@@ -269,15 +269,21 @@ def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
     bands = bands.localCheckpoint(eager=True)
     pairs = candidate_pairs_from_bands(bands, cfg, source="ann") \
         .localCheckpoint(eager=True)
-    sym = (pairs.select(F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id"))
-           .unionAll(pairs.select(F.col("b").alias("vec_id"),
-                                  F.col("a").alias("neighbor_id"))))
-    va = en.select(F.col("vec_id"), F.col("v").alias("va"), F.col("norm").alias("na"))
-    vb = en.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+    # compute the (symmetric) rounded sim ONCE per unordered pair, then
+    # fan out both directions — dot and na*nb commute to bit-identical
+    # doubles either way, and the fold is the re-rank's dominant cost
+    va = en.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                   F.col("norm").alias("na"))
+    vb = en.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
                    F.col("norm").alias("nb"))
-    sims = (sym.join(va, "vec_id").join(vb, "neighbor_id")
-            .withColumn("sim", F.round(dot_col(F.col("va"), F.col("vb"))
-                                       / (F.col("na") * F.col("nb")), 6)))
+    und = (pairs.join(va, "a").join(vb, "b")
+           .select("a", "b",
+                   F.round(dot_col(F.col("va"), F.col("vb"))
+                           / (F.col("na") * F.col("nb")), 6).alias("sim")))
+    sims = (und.select(F.col("a").alias("vec_id"),
+                       F.col("b").alias("neighbor_id"), "sim")
+            .unionAll(und.select(F.col("b").alias("vec_id"),
+                                 F.col("a").alias("neighbor_id"), "sim")))
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -91,12 +91,17 @@ def lsh_kneighbors(e: DataFrame, k: int, family: str = "random_projections",
                            "band_id", "bucket")
     und = candidate_pairs_from_bands(bands, cfg, source=f"knn_{family}") \
         .localCheckpoint(eager=True)
-    cand = (und.select(F.col("a").alias("q"), F.col("b").alias("m"))
-            .union(und.select(F.col("b").alias("q"), F.col("a").alias("m"))))
-    va = src.select(F.col("vec_id").alias("q"), F.col("v").alias("va"))
-    vb = src.select(F.col("vec_id").alias("m"), F.col("v").alias("vb"))
-    ranked = (cand.join(va, "q").join(vb, "m")
-              .withColumn("d", _dsq(F.col("va"), F.col("vb")))
+    # compute the (symmetric) distance ONCE per unordered pair, then fan
+    # out both directions — (x-y)*(x-y) folds to the bit-identical double
+    # either way, and the fold is the re-rank's dominant cost
+    va = src.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    vb = src.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dund = (und.join(va, "a").join(vb, "b")
+            .select("a", "b", _dsq(F.col("va"), F.col("vb")).alias("d")))
+    cand = (dund.select(F.col("a").alias("q"), F.col("b").alias("m"), "d")
+            .union(dund.select(F.col("b").alias("q"), F.col("a").alias("m"),
+                               "d")))
+    ranked = (cand
               .withColumn("rank", F.row_number().over(
                   W.partitionBy("q").orderBy(F.col("d"), F.col("m"))))
               .filter(F.col("rank") <= k)

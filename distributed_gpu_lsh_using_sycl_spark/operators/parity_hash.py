@@ -25,8 +25,11 @@ from the same seed).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
@@ -314,23 +317,50 @@ def _affine01(col):
 
 def rp_buckets_df(e: DataFrame, cfg: LshConfig,
                   id_col: str = "vec_id", vec_col: str = "v",
-                  dims: int | None = None) -> DataFrame:
+                  dims: int | None = None, kernel: bool = True) -> DataFrame:
     """Random-projections bucket assignment (random_projections.hpp:72-85
-    chain) as JVM built-ins only: fold-dot projections, floor-quantize,
-    u32-wrap, hash_combine fold from rows_per_band, mod bucket_modulus.
+    chain): fold-dot projections, floor-quantize, u32-wrap, hash_combine
+    fold from rows_per_band, mod bucket_modulus.
 
     Same chain as functions.hashing.random_projection_buckets but with the
     SEQUENTIAL FP summation order (hashing.seqdot / DuckDB list_reduce) so
     the driver's DuckDB oracle (rp_oracle_sql) hash-matches bit-exactly.
-    """
+
+    ``kernel=True`` (default) runs the chain as ONE Arrow-batched numpy
+    kernel per batch (hashing.random_projection_buckets_seq — seqdot
+    projections + the u32 hash_combine twin, every op bit-identical to
+    the JVM fold plan); ``kernel=False`` keeps the pure-JVM built-ins
+    plan (the oracle/parity mode, pinned equal in
+    tests/test_parity_hash.py)."""
     spark = e.sparkSession
-    src = e.select(F.col(id_col).alias("vec_id"),
-                   _affine01(F.col(vec_col).cast("array<double>")).alias("v"))
     if dims is None:  # a probe here would run a hidden Spark job per
         # pipeline construction; require the caller to state the width
         raise ValueError(
             "dims is required: pass the embedding width explicitly "
             "(e.g. dims=64 for the testdata embeddings table)")
+    if kernel:
+        funcs = H.random_projection_pool(
+            cfg.seed, cfg.num_bands, cfg.rows_per_band,
+            cfg.signature_pool_size, dims, cfg.w)
+        w, modulus = float(cfg.w), cfg.bucket_modulus
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def rp_udf(vs: pd.Series) -> pd.Series:
+            V = np.asarray(vs.tolist(), dtype=np.float64)
+            if len(V) == 0:
+                return pd.Series([], dtype=object)
+            V01 = np.minimum(np.maximum((V + 1.0) * 0.5, 0.0), 1.0)
+            return pd.Series(
+                H.random_projection_buckets_seq(V01, funcs, w,
+                                                modulus).tolist())
+
+        return (e.select(F.col(id_col).alias("vec_id"),
+                         rp_udf(F.col(vec_col).cast("array<double>"))
+                         .alias("bk"))
+                .select("vec_id",
+                        F.posexplode("bk").alias("band_id", "bucket")))
+    src = e.select(F.col(id_col).alias("vec_id"),
+                   _affine01(F.col(vec_col).cast("array<double>")).alias("v"))
     funcs_df = rp_funcs_df(spark, cfg, dims)
     # h = a.x + b >= 0 (|N| coeffs, [0,1] data, b in [0,w)) so floor ==
     # the C++ float->uint truncation; mask == u32 wrap.
@@ -441,18 +471,45 @@ def hyperplane_funcs_df(spark, n_tables: int, bits: int, seed: int, dims: int):
 
 def hyperplane_buckets_df(e: DataFrame, n_tables: int, bits: int, seed: int,
                           id_col: str = "vec_id", vec_col: str = "v",
-                          dims: int | None = None) -> DataFrame:
+                          dims: int | None = None,
+                          kernel: bool = True) -> DataFrame:
     """(id, vec) -> (image_id, band_id, bucket): sign-bit buckets with
     SEQUENTIAL fold-dot projections — bit-identical to the DuckDB oracle
-    (ann_oracle_sql), drop-in for embedding.hyperplane_bands."""
+    (ann_oracle_sql), drop-in for embedding.hyperplane_bands.
+
+    ``kernel=True`` (default) computes the projections as one seqdot
+    Arrow kernel per batch (same doubles, same signs — hashing.seqdot is
+    the bit-identical fold twin); ``kernel=False`` keeps the pure-JVM
+    fold plan (parity mode, pinned equal in tests/test_parity_hash.py)."""
     spark = e.sparkSession
-    src = e.select(F.col(id_col).alias("image_id"),
-                   F.col(vec_col).cast("array<double>").alias("v"))
     if dims is None:  # a probe here would run a hidden Spark job per
         # pipeline construction; require the caller to state the width
         raise ValueError(
             "dims is required: pass the embedding width explicitly "
             "(e.g. dims=64 for the testdata embeddings table)")
+    if kernel:
+        from distributed_gpu_lsh_using_sycl_spark.operators.embedding import (
+            hyperplane_planes)
+
+        planes = hyperplane_planes(seed, n_tables * bits, dims)
+        weights = (1 << np.arange(bits)).astype(np.int64)
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def hp_udf(vs: pd.Series) -> pd.Series:
+            V = np.asarray(vs.tolist(), dtype=np.float64)
+            if len(V) == 0:
+                return pd.Series([], dtype=object)
+            signs = H.seqdot(V, planes) > 0  # (n, n_tables*bits)
+            b = signs.reshape(len(V), n_tables, bits) @ weights
+            return pd.Series(b.tolist())
+
+        return (e.select(F.col(id_col).alias("image_id"),
+                         hp_udf(F.col(vec_col).cast("array<double>"))
+                         .alias("bk"))
+                .select("image_id",
+                        F.posexplode("bk").alias("band_id", "bucket")))
+    src = e.select(F.col(id_col).alias("image_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
     funcs_df = hyperplane_funcs_df(spark, n_tables, bits, seed, dims)
     bit = (src.crossJoin(F.broadcast(funcs_df))
            .select("image_id", "t",

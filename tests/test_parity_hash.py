@@ -182,3 +182,29 @@ def test_sampled_cutoffs_agree_with_exact(spark):
         # determinism of the sampled path itself
         again = _collect_buckets(fn(_df(spark, pts), scfg, 7, dims=16))
         assert again == sampled
+
+
+def test_rp_and_hyperplane_kernel_match_jvm(spark, pts):
+    """kernel=True (Arrow seqdot chain) == kernel=False (pure-JVM fold
+    plan) bit-for-bit — the kernel is the default execution mode, the JVM
+    plan stays the parity/oracle mode."""
+    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        hyperplane_buckets_df, rp_buckets_df)
+
+    cfg = LshConfig()
+    df = _df(spark, pts)
+    a = sorted(tuple(r) for r in
+               rp_buckets_df(df, cfg, dims=pts.shape[1],
+                             kernel=False).collect())
+    b = sorted(tuple(r) for r in
+               rp_buckets_df(df, cfg, dims=pts.shape[1],
+                             kernel=True).collect())
+    assert a == b
+    a = sorted(tuple(r) for r in
+               hyperplane_buckets_df(df, 8, 6, 11, dims=pts.shape[1],
+                                     kernel=False).collect())
+    b = sorted(tuple(r) for r in
+               hyperplane_buckets_df(df, 8, 6, 11, dims=pts.shape[1],
+                                     kernel=True).collect())
+    assert a == b
