@@ -895,16 +895,14 @@ def q_streaming_dedup_clusters(spark, sf):
     cfg = _dedup_cfg()
     d.filter(F.col("image_id").cast("long") % 2 == 0) \
         .write.mode("overwrite").parquet(os.path.join(inp, "w1"))
-    # waves land as 1-2 files here, so spread the signature UDF across
-    # the session's cores (ingest.py: the file source parallelizes by
-    # file — a narrow wave would sign on one core)
-    par = spark.sparkContext.defaultParallelism
-    streaming_dedup_cycle(spark, inp + "/*", wh, cfg, reconcile=False,
-                          ingest_partitions=par)
+    # partitioning is scale-adaptive by default (e2e._adaptive_partitions:
+    # derived from the wave's bytes, floor 8, cap at the session cores) —
+    # it spreads the signature UDF off a narrow wave without paying 32
+    # state-store commits + 32 files per micro-batch for a 2 MB wave
+    streaming_dedup_cycle(spark, inp + "/*", wh, cfg, reconcile=False)
     d.filter(F.col("image_id").cast("long") % 2 == 1) \
         .write.mode("overwrite").parquet(os.path.join(inp, "w2"))
-    res = streaming_dedup_cycle(spark, inp + "/*", wh, cfg,
-                                ingest_partitions=par)
+    res = streaming_dedup_cycle(spark, inp + "/*", wh, cfg)
     # both streams have terminated; drop their state providers now so no
     # background maintenance outlives this query into the rest of the
     # session (the returned clusters frame reads a plain parquet table

@@ -171,6 +171,57 @@ def _compact_adjudicated(spark: SparkSession, adjudicated_dir: str) -> None:
     shutil.rmtree(old)
 
 
+#: advisory bytes per ingest split for the python signing stage — much
+#: smaller than a scan-stage advisory (the UDF is compute-bound, not
+#: IO-bound), so small waves still fan out across several workers.
+_INGEST_SPLIT_BYTES = 8 * 1024 * 1024
+#: floor so a tiny wave never signs serially (a one-file 2.5k-doc wave
+#: measured 3.5s on 1 core vs ~1.2s spread)
+_MIN_WAVE_PARTITIONS = 8
+
+
+def _adaptive_partitions(spark: SparkSession, input_dir: str) -> int:
+    """SCALE-ADAPTIVE partition count for the streaming stages: derived
+    from the wave's input bytes (advisory-size rule, guide §2.2/§6), not
+    from the local core count. Small waves take few partitions (fewer
+    state-store commits, fewer task launches, fewer output files per
+    micro-batch — measured ~2x on the sf0.1 two-wave cycle vs the
+    core-count constant); big waves grow to the session parallelism
+    exactly as before. Local-FS sizing, same contract as the rest of
+    this module; a URI input falls back to the session parallelism."""
+    par = spark.sparkContext.defaultParallelism
+    root = input_dir[:-2] if input_dir.endswith("/*") else input_dir
+    if "://" in root or not os.path.isdir(root):
+        return par
+    total = 0
+    for r, _, files in os.walk(root):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(r, f))
+                except OSError:
+                    pass
+    want = max(_MIN_WAVE_PARTITIONS,
+               -(-total // _INGEST_SPLIT_BYTES))  # ceil div
+    return int(min(par, want))
+
+
+def _parquet_dir_rows(path: str) -> int:
+    """Exact row count of a local parquet dir from the file footers — no
+    Spark job. The cycle's returned n_signatures/n_candidates metrics
+    previously cost one full count() job each per cycle; footer metadata
+    is the same number for the append-only stage tables (local-FS
+    contract, same as every other path check in this module)."""
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for r, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += _pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+    return total
+
+
 def _parquet_dir_has_data(path: str) -> bool:
     """True iff ``path`` is a directory with at least one parquet part —
     the only condition under which the candidate table is batch-readable.
@@ -284,7 +335,15 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
 
     # ingest_partitions: spread the signature UDF when waves land as few
     # files (see signature_stream — the file source parallelizes by file,
-    # so a narrow wave otherwise signs on a fraction of the cores)
+    # so a narrow wave otherwise signs on a fraction of the cores).
+    # Default: SCALE-ADAPTIVE from the wave's bytes (_adaptive_partitions)
+    # — a core-count constant over-partitions small waves (32 state
+    # commits + 32 files per micro-batch for a 2 MB wave) and a
+    # fixed small number would serialize big ones.
+    if ingest_partitions is None:
+        ingest_partitions = _adaptive_partitions(spark, input_dir)
+    if state_partitions is None:
+        state_partitions = ingest_partitions
     q = signature_stream(spark, input_dir, sigs_dir,
                          os.path.join(warehouse, "ckpt_sigs"), cfg,
                          with_image=with_image, available_now=True,
@@ -293,13 +352,14 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
     # The stateful join's state-store partition count is captured from
     # spark.sql.shuffle.partitions at the query's FIRST start and pinned
     # in the checkpoint; this knob overrides it for the candidate stream
-    # only. Leave None to inherit the session: an interleaved A/B at
-    # sf0.1/local[32] measured FEWER partitions strictly slower (best 36s
-    # at 32 vs 69s at 8) — the stateful stage is bound by the Python emit
-    # over (band,bucket) groups, not by store-commit overhead, so
-    # shrinking partitions just forfeits task parallelism. Size it DOWN
-    # only when state volume per partition, not compute, is the binding
-    # constraint (huge deployments with small per-batch deltas).
+    # only. Default: the same scale-adaptive count as the ingest stage.
+    # (History: round 5 measured fewer partitions strictly SLOWER — the
+    # stage was bound by the per-row Python emit, so shrinking partitions
+    # forfeited task parallelism. Round 6 vectorized the emit's common
+    # path, after which the per-partition fixed costs — state-store
+    # get/commit, delta files, task launches — dominate small waves and
+    # the byte-derived count measured ~2x faster on the sf0.1 two-wave
+    # cycle; big waves still grow to the session parallelism.)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(state_partitions or prev))
@@ -322,17 +382,20 @@ def streaming_dedup_cycle(spark: SparkSession, input_dir: str,
         cands = spark.createDataFrame([], "a string, b string")
     if not reconcile:
         return {"clusters": None,
-                "n_signatures": sigs.count(),
-                "n_candidates": cands.count()}
+                "n_signatures": _parquet_dir_rows(sigs_dir),
+                "n_candidates": _parquet_dir_rows(pairs_dir)}
     clusters, n_new = _reconcile(
         spark, sigs, cands, cfg,
         adjudicated_dir=os.path.join(warehouse, "adjudicated"),
         small_graph_threshold=small_graph_threshold)
     out_dir = os.path.join(warehouse, "clusters")
-    clusters.write.mode("overwrite").parquet(out_dir)
+    # a handful of right-sized files instead of one per shuffle
+    # partition: the table is O(|V|) skinny rows, and every consumer
+    # re-reads it (listing + footer cost per cycle)
+    clusters.coalesce(4).write.mode("overwrite").parquet(out_dir)
     return {"clusters": spark.read.parquet(out_dir),
-            "n_signatures": sigs.count(),
-            "n_candidates": cands.count(),
+            "n_signatures": _parquet_dir_rows(sigs_dir),
+            "n_candidates": _parquet_dir_rows(pairs_dir),
             "n_new_adjudicated": n_new}
 
 

@@ -130,6 +130,8 @@ def _check_state_version(checkpoint_dir: str,
 
 
 def _make_emit(cap: int):
+    import numpy as np
+
     def emit(key: Any, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
             st_buckets, st_members = state.get
@@ -139,21 +141,51 @@ def _make_emit(cap: int):
             table = {}
         grew = False
         rows: list[tuple[str, str, int]] = []
-        seen_sets: dict[int, set] = {}
         for pdf in pdfs:
-            # single flat pass in arrival order: a pandas groupby here
-            # allocates a sub-DataFrame per bucket, which dominates when
-            # ~every bucket has ONE row in the batch (the measured common
-            # case); per-bucket admission order — and therefore the pair
-            # set — is identical either way
-            for bucket, iid in zip(pdf["bucket"].to_numpy(),
-                                   pdf["image_id"].to_numpy()):
-                bucket = int(bucket)
+            n = len(pdf)
+            if not n:
+                continue
+            bk = pdf["bucket"].to_numpy()
+            ids = pdf["image_id"].to_numpy()
+            # vectorized (bucket, id) first-occurrence dedup, order
+            # preserved (C-level hash pass instead of per-row set ops)
+            if n > 1:
+                keep = ~pd.DataFrame({"b": bk, "i": ids}) \
+                    .duplicated().to_numpy()
+                bk, ids = bk[keep], ids[keep]
+            # FAST PATH (the measured common case: ~every bucket is a
+            # fresh singleton): a bucket that appears once in this batch
+            # and holds no state admits its member with NO pair emission
+            # and no seen-set construction — one dict store per row.
+            if len(bk) > 1:
+                multi = pd.Series(bk).duplicated(keep=False).to_numpy()
+            else:
+                multi = np.zeros(len(bk), dtype=bool)
+            if table:
+                known = np.fromiter(table.keys(), dtype=np.int64,
+                                    count=len(table))
+                in_state = np.isin(bk, known)
+            else:
+                in_state = np.zeros(len(bk), dtype=bool)
+            easy = ~multi & ~in_state
+            if easy.any():
+                grew = True
+                for b, i in zip(bk[easy].tolist(), ids[easy].tolist()):
+                    table[b] = [i]
+            hard = ~easy
+            if not hard.any():
+                continue
+            # SLOW PATH (rare: bucket already has members, or several
+            # batch rows share it): the original arrival-order admission
+            # loop — per-bucket admission order, the cap, and therefore
+            # the pair set are identical to the flat-loop implementation
+            seen_sets: dict[int, set] = {}
+            for bucket, iid in zip(bk[hard].tolist(), ids[hard].tolist()):
                 members = table.get(bucket)
                 if members is None:
                     members = table[bucket] = []
                 seen = seen_sets.get(bucket)
-                if seen is None:  # built once per invocation per bucket
+                if seen is None:  # built once per batch per bucket
                     seen = seen_sets[bucket] = set(members)
                 if iid in seen:
                     continue  # re-observation (replay / duplicate file)
