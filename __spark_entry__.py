@@ -819,15 +819,23 @@ def q_cc_clusters(spark, sf):
     from distributed_gpu_lsh_using_sycl_spark.operators.components import (
         assign_clusters)
 
+    from distributed_gpu_lsh_using_sycl_spark.plans.pipeline import (
+        CC_SMALL_GRAPH_EDGES)
+
     d = _t(spark, sf, "documents")
     exact = q_dedup_exact_pairs(spark, sf)
     subs = q_dedup_substring_pairs(spark, sf)
     edges = exact.unionByName(subs).distinct()
     # dup assignments are a few % of |V| in this workload — broadcast
     # the CC side so the final join is a broadcast hash join over the
-    # vertex scan instead of a |V|-scale sort-merge (PLANS.md note)
+    # vertex scan instead of a |V|-scale sort-merge (PLANS.md note).
+    # small_graph_threshold: the SAME driver union-find fast path (and
+    # bound) the pipeline and the streaming reconcile already use —
+    # identical assignments (pinned in tests/test_components.py); the
+    # star loop engages automatically past the bound.
     return (assign_clusters(d, edges, id_col="doc_id",
-                            broadcast_assignments=True)
+                            broadcast_assignments=True,
+                            small_graph_threshold=CC_SMALL_GRAPH_EDGES)
             .select(F.col("image_id").alias("doc_id"), "cluster_id"))
 
 
