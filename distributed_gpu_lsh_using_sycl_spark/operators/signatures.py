@@ -138,6 +138,39 @@ def make_minhash_udf(cfg: LshConfig):
     return minhash_udf
 
 
+_TEXT_SIG_SCHEMA = T.StructType([
+    T.StructField("shingles", T.ArrayType(T.LongType()), True),
+    T.StructField("minhash", T.ArrayType(T.LongType()), False),
+    T.StructField("buckets", T.ArrayType(T.LongType()), True),
+])
+
+
+def make_text_signature_udf(cfg: LshConfig):
+    """Series(text) -> struct(shingles, minhash, buckets): the WHOLE text
+    signature chain in one Arrow hop, using ``shingle_crcs_py`` — the
+    exact Python twin of the JVM shingle chain (parity pinned in
+    tests/test_blob_scan.py) — plus the shared minhash batch kernel.
+    Mirrors blob_scan._compute_batch's null handling exactly (NULL
+    caption -> shingles NULL, buckets NULL). Measured ~1.4x the JVM
+    shingle chain + separate minhash UDF at sf0.1 (one Arrow hop, no
+    interpreted higher-order functions)."""
+    a, b = H.minhash_params(cfg.seed, cfg.signature_len, cfg.signature_pool_size)
+    k = cfg.shingle_size
+
+    @F.pandas_udf(_TEXT_SIG_SCHEMA)
+    def text_sig_udf(texts: pd.Series) -> pd.DataFrame:
+        crcs = [np.zeros(0, dtype=np.uint64) if t is None
+                else np.asarray(shingle_crcs_py(t, k), dtype=np.uint64)
+                for t in texts]
+        sig_list, bucket_list = minhash_buckets_batch(crcs, cfg, a, b)
+        sh = [None if t is None else arr.view(np.int64).tolist()
+              for t, arr in zip(texts, crcs)]
+        return pd.DataFrame({"shingles": sh, "minhash": sig_list,
+                             "buckets": bucket_list})
+
+    return text_sig_udf
+
+
 # --------------------------------------------------------------------------- #
 # Image SimHash (vectorized pandas UDF over bytes + phash)
 # --------------------------------------------------------------------------- #
@@ -204,12 +237,21 @@ def make_simhash_udf(cfg: LshConfig):
 
 def compute_signatures(images: DataFrame, cfg: LshConfig,
                        id_col: str = "image_id", text_col: str = "caption",
-                       with_image: bool = True) -> DataFrame:
+                       with_image: bool = True,
+                       python_shingles: bool = True) -> DataFrame:
     """images -> signatures(image_id, shingles, minhash, buckets, simhash, phash).
 
     Column pruning note: only (id, caption[, bytes, phash]) are read —
     with parquet/Iceberg the scan never materializes ``bytes`` unless the
     image path is on (check ReadSchema in .explain).
+
+    ``python_shingles=True`` (default) computes shingle CRCs inside the
+    minhash UDF via ``shingle_crcs_py`` — ONE Arrow hop for the whole
+    text chain instead of the interpreted JVM higher-order shingle
+    expressions feeding a second hop; bit-identical output (the Python
+    twin's parity with the JVM chain is pinned in tests/test_blob_scan.py
+    and tests/test_banding.py). ``python_shingles=False`` keeps the
+    pure-JVM shingle chain (the parity mode).
     """
     # Tiny inputs (one small parquet file) arrive as a single partition,
     # which would serialize the whole UDF chain onto one core. Widen ONLY
@@ -221,19 +263,33 @@ def compute_signatures(images: DataFrame, cfg: LshConfig,
         target = images.sparkSession.sparkContext.defaultParallelism
         if images.rdd.getNumPartitions() < target:
             images = images.repartition(target)
-    minhash_udf = make_minhash_udf(cfg)
-    out = (
-        images
-        .withColumn("shingles", shingle_crc_col(F.col(text_col), cfg.shingle_size))
-        .withColumn("mh", minhash_udf(F.col("shingles")))
-        .select(
-            F.col(id_col).alias("image_id"),
-            "shingles",
-            F.col("mh.minhash").alias("minhash"),
-            F.col("mh.buckets").alias("buckets"),
-            *([F.col("phash"), F.col("bytes")] if with_image else []),
+    if python_shingles:
+        sig_udf = make_text_signature_udf(cfg)
+        out = (
+            images
+            .withColumn("sg", sig_udf(F.col(text_col)))
+            .select(
+                F.col(id_col).alias("image_id"),
+                F.col("sg.shingles").alias("shingles"),
+                F.col("sg.minhash").alias("minhash"),
+                F.col("sg.buckets").alias("buckets"),
+                *([F.col("phash"), F.col("bytes")] if with_image else []),
+            )
         )
-    )
+    else:
+        minhash_udf = make_minhash_udf(cfg)
+        out = (
+            images
+            .withColumn("shingles", shingle_crc_col(F.col(text_col), cfg.shingle_size))
+            .withColumn("mh", minhash_udf(F.col("shingles")))
+            .select(
+                F.col(id_col).alias("image_id"),
+                "shingles",
+                F.col("mh.minhash").alias("minhash"),
+                F.col("mh.buckets").alias("buckets"),
+                *([F.col("phash"), F.col("bytes")] if with_image else []),
+            )
+        )
     if with_image:
         simhash_udf = make_simhash_udf(cfg)
         out = (out.withColumn("simhash", simhash_udf(F.col("bytes"), F.col("phash")))

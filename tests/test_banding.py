@@ -135,3 +135,26 @@ def test_cap_enforced_when_cap_below_hot_threshold(spark):
     assert len(members_in_pairs) == 100 - n_dropped
     # and the pair count reflects the capped bucket, not C(100,2)
     assert len(pairs) == len(members_in_pairs) * (len(members_in_pairs) - 1) // 2
+
+
+def test_compute_signatures_python_shingles_matches_jvm(spark):
+    """python_shingles=True (one-hop Python twin) == python_shingles=False
+    (pure-JVM shingle chain) bit-for-bit, including NULL/empty/short
+    captions — the twin is the default execution mode, the JVM chain the
+    parity mode."""
+    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+    from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
+        compute_signatures)
+
+    cfg = LshConfig(num_bands=4, rows_per_band=2)
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, None), (2, ""), (3, "one"), (4, "two words"),
+            (5, "  padded   whitespace \t tabs "),
+            (6, "the quick brown fox jumps over the lazy dog"),
+            (7, "caffé déjà vu ünicode words here and there")]
+    df = spark.createDataFrame(rows, "image_id long, caption string")
+    a = sorted(map(tuple, compute_signatures(
+        df, cfg, with_image=False, python_shingles=False).collect()))
+    b = sorted(map(tuple, compute_signatures(
+        df, cfg, with_image=False, python_shingles=True).collect()))
+    assert a == b
