@@ -29,8 +29,13 @@ its fit/search split (nearest_neighbors.cpp:60-97) in shape only.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_gpu_lsh_using_sycl_spark.functions import hashing as H
 
 #: fixed-point scale, 2^20 — exact in double, keeps |sum| << 2^53.
 SCALE = 1 << 20
@@ -56,15 +61,59 @@ def _dists_col(centroids: list[list[float]]):
     return F.array(*[one(c) for c in centroids])
 
 
-def _assign(qdf: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def _assign(qdf: DataFrame, centroids: list[list[float]],
+            kernel: bool = True) -> DataFrame:
     """(vec_id, q, cluster, dist): argmin centroid; ties take the
-    SMALLEST cluster index (array_position returns the first match)."""
+    SMALLEST cluster index (array_position returns the first match).
+
+    ``kernel=True`` (default) computes the distance matrix as one
+    seqdiffsq Arrow kernel per batch — the bit-identical vectorized twin
+    of the JVM fold (np.argmin returns the first minimum, matching
+    array_position's first match); ``kernel=False`` keeps the pure-JVM
+    fold plan (parity mode, pinned equal in tests/test_kmeans.py)."""
+    if kernel:
+        C = np.asarray(centroids, dtype=np.float64)
+        schema = T.StructType([T.StructField("cluster", T.IntegerType()),
+                               T.StructField("dist", T.DoubleType())])
+
+        @F.pandas_udf(schema)
+        def ass_udf(qs: pd.Series) -> pd.DataFrame:
+            Q = np.asarray(qs.tolist(), dtype=np.float64)
+            if len(Q) == 0:
+                return pd.DataFrame({"cluster": [], "dist": []})
+            D = H.seqdiffsq(Q, C)
+            return pd.DataFrame(
+                {"cluster": np.argmin(D, axis=1).astype(np.int32),
+                 "dist": D.min(axis=1)})
+
+        return (qdf.withColumn("ad", ass_udf("q"))
+                .select("vec_id", "q",
+                        F.col("ad.cluster").alias("cluster"),
+                        F.col("ad.dist").alias("dist")))
     d = _dists_col(centroids)
     return (qdf.withColumn("dl", d)
             .select("vec_id", "q",
                     (F.array_position("dl", F.array_min("dl")) - 1)
                     .cast("int").alias("cluster"),
                     F.array_min("dl").alias("dist")))
+
+
+def _mindist_col(centers: list[list[float]], kernel: bool = True):
+    """min dist² to the current center set as one Column — the kcenter
+    init's per-round pass. Kernel mode = seqdiffsq Arrow kernel,
+    bit-identical to array_min over the JVM fold array."""
+    if not kernel:
+        return F.array_min(_dists_col(centers))
+    C = np.asarray(centers, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def md_udf(qs: pd.Series) -> pd.Series:
+        Q = np.asarray(qs.tolist(), dtype=np.float64)
+        if len(Q) == 0:
+            return pd.Series([], dtype=np.float64)
+        return pd.Series(H.seqdiffsq(Q, C).min(axis=1))
+
+    return md_udf("q")
 
 
 def _round_sizes(k: int, rounds: int) -> list[int]:
@@ -93,9 +142,8 @@ def kcenter_init(qdf: DataFrame, n_centroids: int,
     for batch in _round_sizes(n_centroids, rounds):
         if batch <= 0:
             continue
-        d = _dists_col(centers)
         picks = (qdf.filter(~F.col("vec_id").isin(chosen))
-                 .withColumn("dist", F.array_min(d))
+                 .withColumn("dist", _mindist_col(centers))
                  .orderBy(F.col("dist").desc(), F.col("vec_id"))
                  .limit(batch).collect())
         centers += [[float(x) for x in r["q"]] for r in picks]

@@ -89,3 +89,26 @@ def test_kcenter_init_and_converge_stop(spark):
             kmeans_assign(df, n_centroids=3, n_iter=25,
                           init="kcenter").collect()}
     assert short == long
+
+
+def test_assign_kernel_matches_fold(spark):
+    """_assign kernel mode (seqdiffsq Arrow twin) == the JVM fold plan
+    bit-for-bit, and the full kmeans_assign chain is unchanged."""
+    import numpy as np
+
+    from distributed_gpu_lsh_using_sycl_spark.operators.kmeans import (
+        _assign, _quantized, kmeans_assign)
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    pts = rng.standard_normal((300, 16))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    qdf = _quantized(e, "vec_id", "v")
+    cents = [[float(x) for x in r["q"]]
+             for r in qdf.orderBy("vec_id").limit(6).collect()]
+    a = sorted(map(tuple, _assign(qdf, cents, kernel=False).collect()))
+    b = sorted(map(tuple, _assign(qdf, cents, kernel=True).collect()))
+    assert a == b
+    full = sorted(map(tuple, kmeans_assign(
+        e, n_centroids=6, n_iter=4, init="kcenter").collect()))
+    assert len(full) == 300
