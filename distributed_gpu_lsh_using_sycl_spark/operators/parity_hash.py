@@ -842,9 +842,9 @@ def _word_fp32(words_col):
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
-def doc_simhash_col(text_col, k: int = 3):
-    """64-bit text SimHash as a pure-JVM Column, reproducible in DuckDB
-    SQL (doc_simhash_oracle_sql) for the driver's value-hash gate.
+def doc_simhash_col(text_col, k: int = 3, kernel: bool = True):
+    """64-bit text SimHash as a Column, reproducible in DuckDB SQL
+    (doc_simhash_oracle_sql) for the driver's value-hash gate.
 
     Chain: distinct word-k-shingles (signatures.shingles_col) → per
     shingle a uint32 hash_combine fold over the character code points
@@ -853,7 +853,21 @@ def doc_simhash_col(text_col, k: int = 3):
     32-bit words hc(h,1) / hc(h,2) → independent 32-bit bit-vote
     fingerprints → hi<<32 | lo. Shingle ORDER never matters (votes are
     sums), so Spark's array_distinct and DuckDB's list_distinct agree.
-    """
+
+    ``kernel=True`` (default) runs the whole chain as one Arrow-batched
+    numpy kernel per batch (``_doc_simhash_batch`` — the same tokenizer/
+    hash_combine twins the blob-scan path uses, so every hash is
+    bit-identical); ``kernel=False`` keeps the pure-JVM expression chain
+    (the parity mode, pinned equal in tests/test_doc_simhash.py).
+    BMP-character contract either way: the JVM chain's split("")/ascii
+    walks UTF-16 code units, and the kernel mirrors that by hashing
+    UTF-16-LE code units."""
+    if kernel:
+        @F.pandas_udf(T.LongType())
+        def sh_udf(texts: pd.Series) -> pd.Series:
+            return _doc_simhash_batch(texts, k)
+
+        return sh_udf(text_col)
     from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
         shingles_col)
 
@@ -865,6 +879,70 @@ def doc_simhash_col(text_col, k: int = 3):
     his = F.transform(h32, lambda x: _hc_col(x, F.lit(1)))
     los = F.transform(h32, lambda x: _hc_col(x, F.lit(2)))
     return F.shiftleft(_word_fp32(his), 32).bitwiseOR(_word_fp32(los))
+
+
+def _doc_simhash_batch(texts: pd.Series, k: int) -> pd.Series:
+    """Vectorized bit-identical twin of the JVM doc-simhash chain: the
+    shingle grams come from the exact Python tokenizer twin
+    (signatures._JAVA_WS split semantics), the per-shingle character fold
+    is hash_combine_u32 over UTF-16-LE code units (== split("")/ascii on
+    BMP text), and the two 32-bit bit-vote fingerprints are computed with
+    one reduceat per word. NULL text -> NULL simhash (the JVM chain's
+    null propagation); zero shingles -> 0 (all votes zero)."""
+    from distributed_gpu_lsh_using_sycl_spark.operators.signatures import (
+        _JAVA_WS)
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    isnull = np.zeros(n, dtype=bool)
+    flat: list[str] = []
+    counts = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            isnull[i] = True
+            continue
+        toks = [x for x in _JAVA_WS.split(t.strip(" ").lower()) if x]
+        nt = len(toks)
+        if nt == 0:
+            continue
+        if nt < k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[j:j + k]) for j in range(nt - k + 1)]
+        seen: set[str] = set()
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                flat.append(g)
+        counts[i] = len(seen)
+    if flat:
+        lens = np.array([len(s.encode("utf-16-le")) // 2 for s in flat],
+                        dtype=np.int64)
+        cat = "".join(flat)
+        units = np.frombuffer(cat.encode("utf-16-le"), dtype=np.uint16)
+        maxlen = int(lens.max())
+        total = len(flat)
+        buf = np.zeros((total, maxlen), dtype=np.uint32)
+        mask = np.arange(maxlen)[None, :] < lens[:, None]
+        buf[mask] = units
+        acc = np.full(total, np.uint32(k), dtype=H.U32)
+        for pos in range(maxlen):
+            live = lens > pos
+            acc[live] = H.hash_combine_u32(acc[live], buf[live, pos])
+        his = H.hash_combine_u32(acc, np.uint32(1))
+        los = H.hash_combine_u32(acc, np.uint32(2))
+        offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        has = counts > 0
+        bitsel = np.arange(32, dtype=np.uint32)[None, :]
+        pow2 = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+        words = np.zeros((n, 2), dtype=np.uint64)
+        for wi, h in enumerate((his, los)):
+            contrib = (((h[:, None] >> bitsel) & 1).astype(np.int64) * 2 - 1)
+            votes = np.add.reduceat(contrib, offsets[has], axis=0)
+            words[has, wi] = ((votes > 0) * pow2[None, :]).sum(axis=1)
+        out = ((words[:, 0] << np.uint64(32)) | words[:, 1]).view(np.int64)
+    return pd.Series([None if isnull[i] else int(out[i]) for i in range(n)],
+                     dtype="Int64")
 
 
 def _sql_fp32(col: str) -> str:

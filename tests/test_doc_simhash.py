@@ -72,3 +72,26 @@ def test_doc_simhash_pairs_matches_python_oracle(spark):
            E.q_doc_simhash_pairs(spark, SF).collect()}
     assert got == want
     assert len(want) > 0  # the fixture really contains planted caption dups
+
+
+def test_doc_simhash_kernel_matches_jvm(spark):
+    """kernel=True (Arrow numpy twin) == kernel=False (pure-JVM chain)
+    bit-for-bit, including NULL/empty/short/BMP-unicode captions."""
+    from pyspark.sql import functions as F
+
+    from distributed_gpu_lsh_using_sycl_spark.operators.parity_hash import (
+        doc_simhash_col)
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, None), (2, ""), (3, "one"), (4, "two words"),
+            (5, "  padded   whitespace \t tabs "),
+            (6, "caffé déjà vu ünicode wörds here ünd there"),
+            (7, "a b c d e f g h i j k l m n o p q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, df.select(
+        "doc_id", doc_simhash_col(F.col("text"), 3,
+                                  kernel=False).alias("s")).collect()))
+    b = sorted(map(tuple, df.select(
+        "doc_id", doc_simhash_col(F.col("text"), 3,
+                                  kernel=True).alias("s")).collect()))
+    assert a == b
