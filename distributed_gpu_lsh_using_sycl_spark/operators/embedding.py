@@ -267,11 +267,13 @@ def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
     # projection/join subtree executes 2-4x (visible as exchange
     # multiplication in tools/explain_audit.py)
     bands = bands.localCheckpoint(eager=True)
-    pairs = candidate_pairs_from_bands(bands, cfg, source="ann") \
-        .localCheckpoint(eager=True)
+    pairs = candidate_pairs_from_bands(bands, cfg, source="ann")
     # compute the (symmetric) rounded sim ONCE per unordered pair, then
     # fan out both directions — dot and na*nb commute to bit-identical
-    # doubles either way, and the fold is the re-rank's dominant cost
+    # doubles either way, and the fold is the re-rank's dominant cost.
+    # The checkpoint sits ON the sim frame: both union branches read the
+    # materialized (a, b, sim) rows, so the salted join and the fold run
+    # exactly once (a union over a lazy frame runs it once per branch).
     va = en.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
                    F.col("norm").alias("na"))
     vb = en.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
@@ -279,7 +281,8 @@ def ann_topk_lsh(e: DataFrame, k: int = 5, n_tables: int = 8, bits: int = 6,
     und = (pairs.join(va, "a").join(vb, "b")
            .select("a", "b",
                    F.round(dot_col(F.col("va"), F.col("vb"))
-                           / (F.col("na") * F.col("nb")), 6).alias("sim")))
+                           / (F.col("na") * F.col("nb")), 6).alias("sim"))
+           .localCheckpoint(eager=True))
     sims = (und.select(F.col("a").alias("vec_id"),
                        F.col("b").alias("neighbor_id"), "sim")
             .unionAll(und.select(F.col("b").alias("vec_id"),

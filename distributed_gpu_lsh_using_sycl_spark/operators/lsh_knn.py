@@ -89,15 +89,19 @@ def lsh_kneighbors(e: DataFrame, k: int, family: str = "random_projections",
         .localCheckpoint(eager=True)
     bands = buckets.select(F.col("vec_id").alias("image_id"),
                            "band_id", "bucket")
-    und = candidate_pairs_from_bands(bands, cfg, source=f"knn_{family}") \
-        .localCheckpoint(eager=True)
+    und = candidate_pairs_from_bands(bands, cfg, source=f"knn_{family}")
     # compute the (symmetric) distance ONCE per unordered pair, then fan
     # out both directions — (x-y)*(x-y) folds to the bit-identical double
-    # either way, and the fold is the re-rank's dominant cost
+    # either way, and the fold is the re-rank's dominant cost. The
+    # checkpoint sits ON the distance frame (not the raw pair set): both
+    # union branches read the materialized (a, b, d) rows, so the salted
+    # join AND the fold execute exactly once (a bare union of two selects
+    # over a lazy frame runs the subtree once per branch).
     va = src.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
     vb = src.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     dund = (und.join(va, "a").join(vb, "b")
-            .select("a", "b", _dsq(F.col("va"), F.col("vb")).alias("d")))
+            .select("a", "b", _dsq(F.col("va"), F.col("vb")).alias("d"))
+            .localCheckpoint(eager=True))
     cand = (dund.select(F.col("a").alias("q"), F.col("b").alias("m"), "d")
             .union(dund.select(F.col("b").alias("q"), F.col("a").alias("m"),
                                "d")))
