@@ -35,6 +35,13 @@ from pyspark.sql import Window as W
 
 from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
 
+#: per-cell kernel chunking: bound the (query-chunk x members) work
+#: matrices at ~this many elements (x8 bytes), so cogrouped cells of any
+#: size run in constant memory. Tests shrink it to force multi-chunk
+#: paths; row-local selection makes chunking output-invariant.
+CELL_CHUNK_ELEMS = 4 << 20
+CELL_CHUNK_MIN_ROWS = 256
+
 
 def dot_col(a, b):
     """Sequential-fold dot product of two array<double> columns (JVM)."""
@@ -525,34 +532,46 @@ def _ivf_topk_kernel(en: DataFrame, cents: DataFrame, k: int,
                    F.col("vec_id").alias("q_id"),
                    F.col("v").alias("qv"), F.col("norm").alias("qnorm")))
     idt = en.schema["vec_id"].dataType.simpleString()
+    # captured at plan-build time (closure cells pickle by value, so a
+    # driver-side override reaches the executor workers)
+    chunk_elems, chunk_min = CELL_CHUNK_ELEMS, CELL_CHUNK_MIN_ROWS
 
     def cell_sims(qpdf, mpdf):
         cols = ["q", "m", "dotqm", "na", "nb"]
         if len(qpdf) == 0 or len(mpdf) == 0:
             return pd.DataFrame({c: [] for c in cols})
-        Q = np.asarray(qpdf["qv"].tolist(), dtype=np.float64)
         M = np.asarray(mpdf["mv"].tolist(), dtype=np.float64)
-        D = H.seqdot(Q, M)
-        qid = qpdf["q_id"].to_numpy()
         mid = mpdf["m_id"].to_numpy()
-        qn = qpdf["qnorm"].to_numpy(dtype=np.float64)
         mn = mpdf["mnorm"].to_numpy(dtype=np.float64)
-        # Per-query pruning WITH SLACK: the global rank orders by
-        # F.round(dot/(na*nb), 6) desc. np.round may differ from the JVM
-        # round by at most one 1e-6 grid step, so keeping every member
-        # within 2e-6 of the row's k-th np-rounded sim provably retains
-        # this cell's contribution to the JVM top-k; the JVM window does
-        # the exact final ranking. Self-pairs are masked out.
-        sims = np.round(D / (qn[:, None] * mn[None, :]), 6)
-        notself = qid[:, None] != mid[None, :]
-        sims = np.where(notself, sims, -np.inf)
-        nk = min(k, sims.shape[1])
-        kth = -np.partition(-sims, nk - 1, axis=1)[:, nk - 1]
-        keep = notself & (sims >= kth[:, None] - 2e-6)
-        qi, mi = np.nonzero(keep)
-        return pd.DataFrame({"q": qid[qi], "m": mid[mi],
-                              "dotqm": D[qi, mi],
-                              "na": qn[qi], "nb": mn[mi]})
+        # query-chunked so the per-cell (nq x nm) matrices stay ~tens of
+        # MB regardless of cell size (per-query pruning is row-local, so
+        # chunking never changes the output)
+        step = max(chunk_min, chunk_elems // max(1, len(mid)))
+        outs = []
+        for lo in range(0, len(qpdf), step):
+            qc = qpdf.iloc[lo:lo + step]
+            Q = np.asarray(qc["qv"].tolist(), dtype=np.float64)
+            D = H.seqdot(Q, M)
+            qid = qc["q_id"].to_numpy()
+            qn = qc["qnorm"].to_numpy(dtype=np.float64)
+            # Per-query pruning WITH SLACK: the global rank orders by
+            # F.round(dot/(na*nb), 6) desc. np.round may differ from the
+            # JVM round by at most one 1e-6 grid step, so keeping every
+            # member within 2e-6 of the row's k-th np-rounded sim
+            # provably retains this cell's contribution to the JVM
+            # top-k; the JVM window does the exact final ranking.
+            # Self-pairs are masked out.
+            sims = np.round(D / (qn[:, None] * mn[None, :]), 6)
+            notself = qid[:, None] != mid[None, :]
+            sims = np.where(notself, sims, -np.inf)
+            nk = min(k, sims.shape[1])
+            kth = -np.partition(-sims, nk - 1, axis=1)[:, nk - 1]
+            keep = notself & (sims >= kth[:, None] - 2e-6)
+            qi, mi = np.nonzero(keep)
+            outs.append(pd.DataFrame({"q": qid[qi], "m": mid[mi],
+                                      "dotqm": D[qi, mi],
+                                      "na": qn[qi], "nb": mn[mi]}))
+        return pd.concat(outs, ignore_index=True)
 
     sims = (qry.groupBy("qcell").cogroup(mem.groupBy("mcell"))
             .applyInPandas(cell_sims,
@@ -747,33 +766,43 @@ def ivfpq_topk(e: DataFrame, k: int = 5, n_centroids: int = 16,
                .select(F.col("cell").alias("qcell"),
                        F.col("q").alias("q_id"), "qdt"))
         idt = en.schema["vec_id"].dataType.simpleString()
+        chunk_elems, chunk_min = CELL_CHUNK_ELEMS, CELL_CHUNK_MIN_ROWS
 
         def cell_adc(qpdf, mpdf):
             cols = ["q", "x", "adci"]
             if len(qpdf) == 0 or len(mpdf) == 0:
                 return pd.DataFrame({c: [] for c in cols})
             Cm = np.asarray(mpdf["mcodes"].tolist(), dtype=np.int64)
-            DT = np.asarray(qpdf["qdt"].tolist(), dtype=np.int64) \
-                .reshape(len(qpdf), n_sub, ks)
-            qid = qpdf["q_id"].to_numpy()
             mid = mpdf["m_id"].to_numpy()
-            adc = np.zeros((len(qid), len(mid)), dtype=np.int64)
-            for s in range(n_sub):
-                adc += DT[:, s, :][:, Cm[:, s]]
-            # canonical member order (id asc) + stable argsort on adci =
-            # exact (adci asc, id asc) ranking; self-pairs sentineled out
+            # canonical member order (id asc) once per cell; query-chunked
+            # so the (nq x nm) ADC matrix stays ~tens of MB at any cell
+            # size (per-query selection is row-local — chunking never
+            # changes the output)
             mo = np.argsort(mid, kind="stable")
-            mid_s, adc_s = mid[mo], adc[:, mo]
-            self_mask = qid[:, None] == mid_s[None, :]
-            adc_s = np.where(self_mask, np.iinfo(np.int64).max, adc_s)
-            nk = min(k, adc_s.shape[1])
-            sel = np.argsort(adc_s, axis=1, kind="stable")[:, :nk]
-            keep = np.take_along_axis(adc_s, sel, axis=1) \
-                != np.iinfo(np.int64).max
-            qi = np.repeat(np.arange(len(qid)), nk)[keep.ravel()]
-            mi = sel.ravel()[keep.ravel()]
-            return pd.DataFrame({"q": qid[qi], "x": mid_s[mi],
-                                 "adci": adc_s[qi, mi]})
+            mid_s, Cm_s = mid[mo], Cm[mo]
+            step = max(chunk_min, chunk_elems // max(1, len(mid_s)))
+            outs = []
+            for lo in range(0, len(qpdf), step):
+                qc = qpdf.iloc[lo:lo + step]
+                DT = np.asarray(qc["qdt"].tolist(), dtype=np.int64) \
+                    .reshape(len(qc), n_sub, ks)
+                qid = qc["q_id"].to_numpy()
+                adc_s = np.zeros((len(qid), len(mid_s)), dtype=np.int64)
+                for s in range(n_sub):
+                    adc_s += DT[:, s, :][:, Cm_s[:, s]]
+                # stable argsort on adci over id-ascending columns =
+                # exact (adci asc, id asc) ranking; self-pairs sentineled
+                self_mask = qid[:, None] == mid_s[None, :]
+                adc_s = np.where(self_mask, np.iinfo(np.int64).max, adc_s)
+                nk = min(k, adc_s.shape[1])
+                sel = np.argsort(adc_s, axis=1, kind="stable")[:, :nk]
+                keep = np.take_along_axis(adc_s, sel, axis=1) \
+                    != np.iinfo(np.int64).max
+                qi = np.repeat(np.arange(len(qid)), nk)[keep.ravel()]
+                mi = sel.ravel()[keep.ravel()]
+                outs.append(pd.DataFrame({"q": qid[qi], "x": mid_s[mi],
+                                          "adci": adc_s[qi, mi]}))
+            return pd.concat(outs, ignore_index=True)
 
         adc = (qry.groupBy("qcell").cogroup(mem.groupBy("mcell"))
                .applyInPandas(cell_adc, f"q {idt}, x {idt}, adci long"))

@@ -337,3 +337,26 @@ def test_neardup_guardrail_low_tau_falls_back(spark, pts):
             _neardup_pairs_exact(en, 0.8, len(pts)).select("a", "b").collect()}
     truth08 = {(int(a), int(b)) for a, b in zip(*iu) if sims[a, b] >= 0.8}
     assert got2 == truth08
+
+
+def test_ivf_kernel_chunked_matches_unchunked(spark, pts, monkeypatch):
+    """Shrinking the per-cell kernel chunk bound (forcing many query
+    chunks per cell) changes nothing: per-query selection is row-local,
+    so the chunked output is identical."""
+    from distributed_gpu_lsh_using_sycl_spark.operators import embedding
+
+    e = _df(spark, pts)
+    base = sorted(tuple(r) for r in
+                  embedding.ivf_topk(e, kernel=True).collect())
+    basepq = sorted(tuple(r) for r in
+                    embedding.ivfpq_topk(e, dims=pts.shape[1],
+                                         kernel=True).collect())
+    monkeypatch.setattr(embedding, "CELL_CHUNK_ELEMS", 64)
+    monkeypatch.setattr(embedding, "CELL_CHUNK_MIN_ROWS", 2)
+    small = sorted(tuple(r) for r in
+                   embedding.ivf_topk(e, kernel=True).collect())
+    smallpq = sorted(tuple(r) for r in
+                     embedding.ivfpq_topk(e, dims=pts.shape[1],
+                                          kernel=True).collect())
+    assert small == base
+    assert smallpq == basepq
