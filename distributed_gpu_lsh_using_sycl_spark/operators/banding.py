@@ -120,7 +120,8 @@ def candidate_pairs_from_bands(bands: DataFrame, cfg: LshConfig,
     only buckets past the hot threshold influence the plan, so the
     filtered frame is exactly equivalent.
     """
-    if stats is None:
+    stats_was_none = stats is None
+    if stats_was_none:
         stats = bucket_stats(bands)
     # The broadcast plan must carry EVERY bucket any decision touches —
     # hot buckets (salted) AND degenerate-but-not-hot buckets (possible
@@ -133,6 +134,26 @@ def candidate_pairs_from_bands(bands: DataFrame, cfg: LshConfig,
     # no-op); still few rows by the skew assumption, so the broadcast
     # stands.
     over = stats.filter(F.col("cnt") > plan_threshold(cfg))
+    if stats_was_none:
+        # materialize the (tiny, filtered) plan frame so the emptiness
+        # probe below and the broadcast share one stats shuffle
+        over = over.localCheckpoint(eager=True)
+    # FAST PATH: when NO bucket crosses the plan threshold (the common
+    # case away from degenerate corpora — true for every sf0.1 banding
+    # frame measured), every m is 1 and every salt is 0, so the salted
+    # grid degenerates to a plain (band, bucket) self-join. Emitting that
+    # join directly skips the broadcast build, the per-row salt hash and
+    # the two sequence-explodes — same pair set by construction (the
+    # m=1 grid joins on (band, bucket, 0, 0)).
+    if not over.head(1):
+        left = bands.select("band_id", "bucket", F.col("image_id").alias("a"))
+        right = bands.select("band_id", "bucket", F.col("image_id").alias("b"))
+        return (left.join(right, ["band_id", "bucket"])
+                .filter(F.col("a") != F.col("b"))
+                .select(F.least("a", "b").alias("a"),
+                        F.greatest("a", "b").alias("b"))
+                .distinct()
+                .withColumn("source", F.lit(source)))
 
     m_col = F.when(
         F.col("cnt") > cfg.hot_bucket_threshold,

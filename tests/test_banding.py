@@ -158,3 +158,33 @@ def test_compute_signatures_python_shingles_matches_jvm(spark):
     b = sorted(map(tuple, compute_signatures(
         df, cfg, with_image=False, python_shingles=True).collect()))
     assert a == b
+
+
+def test_candidate_pairs_fast_path_equals_salted(spark):
+    """The no-hot-bucket fast path (plain self-join) emits exactly the
+    salted grid's pair set; with a hot bucket present, the salted path
+    still engages and both produce the same pairs as a brute
+    per-bucket enumeration."""
+    from pyspark.sql import functions as F
+
+    from distributed_gpu_lsh_using_sycl_spark.config import LshConfig
+    from distributed_gpu_lsh_using_sycl_spark.operators.banding import (
+        candidate_pairs_from_bands)
+
+    # cold buckets only -> fast path
+    rows = [(i, 0, i % 37) for i in range(200)]
+    bands = spark.createDataFrame(rows, "image_id long, band_id int, bucket long")
+    cfg = LshConfig(hot_bucket_threshold=64, max_bucket_size=4096)
+    got = {(r["a"], r["b"]) for r in
+           candidate_pairs_from_bands(bands, cfg).collect()}
+    want = {(a, b) for a in range(200) for b in range(200)
+            if a < b and a % 37 == b % 37}
+    assert got == want
+    # one hot bucket -> salted path; same enumeration
+    rows = [(i, 0, 0 if i < 150 else i) for i in range(200)]
+    bands = spark.createDataFrame(rows, "image_id long, band_id int, bucket long")
+    cfg = LshConfig(hot_bucket_threshold=16, max_bucket_size=4096, n_salts=4)
+    got = {(r["a"], r["b"]) for r in
+           candidate_pairs_from_bands(bands, cfg).collect()}
+    want = {(a, b) for a in range(150) for b in range(150) if a < b}
+    assert got == want
