@@ -101,6 +101,12 @@ def downsample_dropped(bands: DataFrame, cfg: LshConfig,
     if stats is None:
         stats = bucket_stats(bands)
     degen = stats.filter(F.col("cnt") > cfg.max_bucket_size)
+    # no degenerate bucket -> the drop count is provably zero; skip the
+    # bands-wide join+agg job (callers pass the materialized
+    # over_threshold_stats frame, so this probe costs ~nothing)
+    if not degen.head(1):
+        return (bands.sparkSession.createDataFrame(
+            [], "band_id int, bucket long, cnt long, dropped long"))
     dropped = (bands.join(F.broadcast(degen), ["band_id", "bucket"])
                .filter(~_downsample_keep(cfg))
                .groupBy("band_id", "bucket", "cnt")
